@@ -1,0 +1,105 @@
+"""Configuration system.
+
+API-parity with the reference `Config` attr-bag (reference:
+paintmind/config.py:4-37): a mutable attribute container with dict/JSON
+round-trip, plus the static model registry `ver2cfg`
+(paintmind/config.py:79-82).  The hyperparameter values are the published
+model definitions (paintmind/config.py:40-77) and are kept identical so that
+converted reference checkpoints load one-to-one.
+"""
+
+from __future__ import annotations
+
+import json
+from copy import deepcopy
+
+
+class Config:
+    """Attribute-bag configuration with dict/JSON round trip.
+
+    Mirrors the public surface of the reference Config
+    (paintmind/config.py:4-37): ``to_dict``, ``to_json``, ``to_json_string``,
+    ``from_dict``, ``from_json``, ``clear``.
+    """
+
+    def __init__(self, config=None):
+        if config is not None:
+            self.from_dict(config)
+
+    def __repr__(self):
+        return self.to_json_string()
+
+    def to_dict(self):
+        return deepcopy(vars(self))
+
+    def to_json(self, path):
+        with open(path, 'w') as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    def to_json_string(self):
+        return json.dumps(self.to_dict(), indent=2)
+
+    def from_dict(self, dct):
+        self.clear()
+        for key, value in dct.items():
+            setattr(self, key, value)
+        return self.to_dict()
+
+    def from_json(self, json_path):
+        with open(json_path, 'r') as f:
+            self.from_dict(json.load(f))
+        return self.to_dict()
+
+    def clear(self):
+        self.__dict__.clear()
+
+    def get(self, key, default=None):
+        return self.__dict__.get(key, default)
+
+
+# Model hyperparameters — identical values to the reference so converted
+# checkpoints are drop-in (reference: paintmind/config.py:40-66).
+vit_s_vqgan_config = {
+    'n_embed': 8192,
+    'embed_dim': 32,
+    'beta': 0.25,
+    'enc': {
+        'image_size': 256,
+        'patch_size': 8,
+        'dim': 512,
+        'depth': 8,
+        'num_head': 8,
+        'mlp_dim': 2048,
+        'in_channels': 3,
+        'dim_head': 64,
+        'dropout': 0.0,
+    },
+    'dec': {
+        'image_size': 256,
+        'patch_size': 8,
+        'dim': 512,
+        'depth': 8,
+        'num_head': 8,
+        'mlp_dim': 2048,
+        'out_channels': 3,
+        'dim_head': 64,
+        'dropout': 0.0,
+    },
+}
+
+# (reference: paintmind/config.py:68-77)
+pipeline_v1_config = {
+    'stage1': 'vit-s-vqgan',
+    't5': 't5-l',
+    'dim': 1024,
+    'dim_head': 64,
+    'mlp_dim': 4096,
+    'num_head': 16,
+    'depth': 12,
+    'dropout': 0.1,
+}
+
+ver2cfg = {
+    'vit-s-vqgan': vit_s_vqgan_config,
+    'paintmindv1': pipeline_v1_config,
+}

@@ -1,0 +1,294 @@
+"""Stage-1 ViT-VQGAN: encoder → quantize → decoder.
+
+Functional equivalent of the reference VQModel stack
+(paintmind/stage1/vqmodel.py:7-44, paintmind/stage1/layers.py:72-152):
+
+  encode:  patch-embed → +pos → pre-LN → depth× block → prev_quant(dim→32)
+           → l2-VQ  (vqmodel.py:21-25)
+  decode:  post_quant(32→dim) → +pos → depth× block → LN → proj →
+           un-patchify → clamp(-1, 1)  (vqmodel.py:27-30, layers.py:144-152)
+
+TPU-first design choices:
+  * images are NHWC (TPU-native layout); the patch-embed conv (k = stride =
+    patch, no bias; reference layers.py:81-84) is expressed as a reshape +
+    one (B·L, p²C)×(p²C, dim) matmul so it lands directly on the MXU;
+  * the transformer stack is a scanned pre-LN block (nn/transformer.py) with
+    Pallas flash attention on TPU;
+  * everything is a pure function of a param pytree; the VQModel class is a
+    thin stateful wrapper providing the reference's object API
+    (encode/decode/forward/decode_from_indice/freeze/from_pretrained).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import (conv_default, init_layernorm, init_linear, layernorm,
+                       linear, normal_init)
+from ..nn.transformer import init_stack, stack_apply
+from . import quantize as vq
+
+
+# ---------------------------------------------------------------------------
+# Static configs (hashable → usable as jit static args)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 256
+    patch_size: int = 8
+    dim: int = 512
+    depth: int = 8
+    num_head: int = 8
+    mlp_dim: int = 2048
+    channels: int = 3
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @property
+    def grid(self):
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self):
+        return self.grid ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class VQModelConfig:
+    n_embed: int = 8192
+    embed_dim: int = 32
+    beta: float = 0.25
+    enc: ViTConfig = ViTConfig()
+    dec: ViTConfig = ViTConfig()
+
+    @classmethod
+    def from_dict(cls, d):
+        def vit(sub, channel_key):
+            return ViTConfig(
+                image_size=sub['image_size'], patch_size=sub['patch_size'],
+                dim=sub['dim'], depth=sub['depth'], num_head=sub['num_head'],
+                mlp_dim=sub['mlp_dim'], channels=sub.get(channel_key, 3),
+                dim_head=sub.get('dim_head', 64), dropout=sub.get('dropout', 0.0))
+        d = d if isinstance(d, dict) else d.to_dict()
+        return cls(n_embed=d['n_embed'], embed_dim=d['embed_dim'],
+                   beta=d['beta'], enc=vit(d['enc'], 'in_channels'),
+                   dec=vit(d['dec'], 'out_channels'))
+
+
+# ---------------------------------------------------------------------------
+# Patchify / un-patchify (reference layers.py:81-84 conv and :150 rearrange)
+# ---------------------------------------------------------------------------
+
+def patchify(x, patch):
+    """(B, H, W, C) -> (B, h·w, p·p·C) with (p1, p2, c) flatten order —
+    matches the torch Conv2d weight layout after the converter's
+    (out,c,kh,kw)→(kh·kw·c, out) transpose."""
+    b, hh, ww, c = x.shape
+    h, w = hh // patch, ww // patch
+    x = x.reshape(b, h, patch, w, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * w, patch * patch * c)
+
+
+def unpatchify(x, patch, grid, channels):
+    """(B, h·w, p·p·C) -> (B, H, W, C); inverse of the reference's
+    'b (h w) (p1 p2 c) -> b c (h p1) (w p2)' (in NHWC)."""
+    b = x.shape[0]
+    x = x.reshape(b, grid, grid, patch, patch, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, grid * patch, grid * patch, channels)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder
+# ---------------------------------------------------------------------------
+
+def init_encoder(key, cfg: ViTConfig, param_dtype=jnp.float32):
+    k_patch, k_pos, k_stack = jax.random.split(key, 3)
+    patch_dim = cfg.patch_size ** 2 * cfg.channels
+    return {
+        # conv patch-embed as a matmul kernel; bias=False (layers.py:82)
+        'patch_embed': {'kernel': conv_default(k_patch, (patch_dim, cfg.dim), param_dtype)},
+        # pos-embed init randn * dim^-0.5 (layers.py:88)
+        'pos_embed': normal_init(k_pos, (1, cfg.num_patches, cfg.dim),
+                                 std=cfg.dim ** -0.5, dtype=param_dtype),
+        'norm_pre': init_layernorm(cfg.dim, param_dtype),
+        'layers': init_stack(k_stack, cfg.depth, cfg.dim, dim_head=cfg.dim_head,
+                             mlp_dim=cfg.mlp_dim, num_head=cfg.num_head,
+                             param_dtype=param_dtype),
+    }
+
+
+def encoder_apply(p, x, cfg: ViTConfig, *, key=None, deterministic=True,
+                  backend=None, remat=False):
+    x = patchify(x, cfg.patch_size)
+    x = linear(p['patch_embed'], x)
+    x = x + p['pos_embed'].astype(x.dtype)
+    x = layernorm(p['norm_pre'], x)
+    return stack_apply(p['layers'], x, heads=cfg.num_head,
+                       dropout_rate=cfg.dropout, key=key,
+                       deterministic=deterministic, backend=backend,
+                       remat=remat)
+
+
+def init_decoder(key, cfg: ViTConfig, param_dtype=jnp.float32):
+    k_pos, k_stack, k_proj = jax.random.split(key, 3)
+    return {
+        'pos_embed': normal_init(k_pos, (1, cfg.num_patches, cfg.dim),
+                                 std=cfg.dim ** -0.5, dtype=param_dtype),
+        'layers': init_stack(k_stack, cfg.depth, cfg.dim, dim_head=cfg.dim_head,
+                             mlp_dim=cfg.mlp_dim, num_head=cfg.num_head,
+                             param_dtype=param_dtype),
+        'norm': init_layernorm(cfg.dim, param_dtype),
+        'proj': init_linear(k_proj, cfg.dim, cfg.patch_size ** 2 * cfg.channels,
+                            bias=True, param_dtype=param_dtype),
+    }
+
+
+def decoder_apply(p, x, cfg: ViTConfig, *, key=None, deterministic=True,
+                  backend=None, remat=False):
+    x = x + p['pos_embed'].astype(x.dtype)
+    x = stack_apply(p['layers'], x, heads=cfg.num_head,
+                    dropout_rate=cfg.dropout, key=key,
+                    deterministic=deterministic, backend=backend, remat=remat)
+    x = layernorm(p['norm'], x)
+    x = linear(p['proj'], x)
+    return unpatchify(x, cfg.patch_size, cfg.grid, cfg.channels)
+
+
+# ---------------------------------------------------------------------------
+# Full VQModel (pure functions)
+# ---------------------------------------------------------------------------
+
+def init_vqmodel(key, cfg: VQModelConfig, param_dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    return {
+        'encoder': init_encoder(ks[0], cfg.enc, param_dtype),
+        'decoder': init_decoder(ks[1], cfg.dec, param_dtype),
+        'quantize': vq.init_quantizer(ks[2], cfg.n_embed, cfg.embed_dim, param_dtype),
+        'prev_quant': init_linear(ks[3], cfg.enc.dim, cfg.embed_dim,
+                                  init=conv_default, param_dtype=param_dtype),
+        'post_quant': init_linear(ks[4], cfg.embed_dim, cfg.dec.dim,
+                                  init=conv_default, param_dtype=param_dtype),
+    }
+
+
+def encode(params, img, cfg: VQModelConfig, *, key=None, deterministic=True,
+           backend=None, vq_backend='auto', remat=False):
+    """(reference vqmodel.py:21-25) → (z_q, codebook_loss, indices)."""
+    x = encoder_apply(params['encoder'], img, cfg.enc, key=key,
+                      deterministic=deterministic, backend=backend, remat=remat)
+    x = linear(params['prev_quant'], x)
+    return vq.quantize(params['quantize'], x, cfg.beta, backend=vq_backend)
+
+
+def decode(params, z, cfg: VQModelConfig, *, key=None, deterministic=True,
+           backend=None, remat=False):
+    """(reference vqmodel.py:27-30) → image in [-1, 1], NHWC."""
+    x = linear(params['post_quant'], z)
+    x = decoder_apply(params['decoder'], x, cfg.dec, key=key,
+                      deterministic=deterministic, backend=backend, remat=remat)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def forward(params, img, cfg: VQModelConfig, *, key=None, deterministic=True,
+            backend=None, vq_backend='auto', remat=False):
+    """(reference vqmodel.py:32-36) → (reconstruction, codebook_loss)."""
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    else:
+        k1 = k2 = None
+    z, loss, _ = encode(params, img, cfg, key=k1, deterministic=deterministic,
+                        backend=backend, vq_backend=vq_backend, remat=remat)
+    rec = decode(params, z, cfg, key=k2, deterministic=deterministic,
+                 backend=backend, remat=remat)
+    return rec, loss
+
+
+def decode_from_indice(params, indices, cfg: VQModelConfig, *, backend=None):
+    """(reference vqmodel.py:38-41)."""
+    z_q = vq.decode_from_indice(params['quantize'], indices)
+    return decode(params, z_q, cfg, backend=backend)
+
+
+# ---------------------------------------------------------------------------
+# Object API wrapper (reference vqmodel.py:7-44)
+# ---------------------------------------------------------------------------
+
+def _as_nhwc(img):
+    """Accept NHWC (native) or NCHW (reference convention); add batch dim."""
+    img = jnp.asarray(img)
+    if img.ndim == 3:
+        img = img[None]
+    if img.shape[-1] not in (1, 3) and img.shape[1] in (1, 3):
+        img = jnp.transpose(img, (0, 2, 3, 1))
+    return img
+
+
+class VQModel:
+    """Thin stateful wrapper over the pure functions above.
+
+    Holds the param pytree + static config and exposes the reference's
+    object API.  All compute methods are jitted with the config closed over.
+    """
+
+    def __init__(self, config, *, seed=0, param_dtype=jnp.float32,
+                 compute_dtype=None, params=None):
+        self.config = (config if isinstance(config, VQModelConfig)
+                       else VQModelConfig.from_dict(config))
+        self.compute_dtype = compute_dtype
+        if params is None:
+            params = init_vqmodel(jax.random.PRNGKey(seed), self.config,
+                                  param_dtype)
+        self.params = params
+        self.frozen = False
+        cfg = self.config
+        self._encode = jax.jit(functools.partial(encode, cfg=cfg))
+        self._decode = jax.jit(functools.partial(decode, cfg=cfg))
+        self._forward = jax.jit(functools.partial(forward, cfg=cfg))
+        self._decode_ids = jax.jit(functools.partial(decode_from_indice, cfg=cfg))
+
+    def _prep(self, img):
+        img = _as_nhwc(img)
+        if self.compute_dtype is not None:
+            img = img.astype(self.compute_dtype)
+        return img
+
+    def encode(self, img):
+        return self._encode(self.params, self._prep(img))
+
+    def decode(self, z):
+        return self._decode(self.params, jnp.asarray(z))
+
+    def forward(self, img):
+        return self._forward(self.params, self._prep(img))
+
+    __call__ = forward
+
+    def decode_from_indice(self, indices):
+        return self._decode_ids(self.params, jnp.asarray(indices))
+
+    def freeze(self):
+        """Params are immutable pytrees; mark frozen so trainers exclude
+        them from optimization (reference vqmodel.py:16-19)."""
+        self.frozen = True
+        return self
+
+    def from_pretrained(self, path):
+        from ..utils.checkpoint import load_params
+        self.params = load_params(path, template=self.params, model='vqgan')
+        return self
+
+    def save_pretrained(self, path):
+        from ..utils.checkpoint import save_params
+        save_params(path, self.params)
+        return path
+
+    @property
+    def num_params(self):
+        return sum(x.size for x in jax.tree_util.tree_leaves(self.params))

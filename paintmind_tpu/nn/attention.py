@@ -1,0 +1,103 @@
+"""Multi-head (self/cross) attention with a pluggable compute backend.
+
+Functional equivalent of the reference attention pair
+(paintmind/modules/attention.py:25-108): q/k/v projections without bias,
+output projection with bias + dropout; when ``context`` is None the module
+degrades to self-attention (reference attention.py:47 ``default(context, x)``)
+— this matters for classifier-free/unconditional passes in stage 2, where the
+cross-attention sublayer becomes a second self-attention.
+
+Backends:
+  * ``xla``   — plain einsum attention; XLA fuses it well at these sizes.
+  * ``flash`` — Pallas blockwise flash-attention kernel (ops/flash_attention),
+                the TPU-native replacement for xformers'
+                ``memory_efficient_attention`` (reference attention.py:100).
+  * ``auto``  — flash on TPU when shapes are tile-compatible, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .core import dropout as _dropout
+from .core import init_linear, linear
+
+_BACKEND = 'auto'
+
+
+def set_attention_backend(name: str):
+    """Globally select 'auto' | 'xla' | 'flash'."""
+    global _BACKEND
+    assert name in ('auto', 'xla', 'flash'), name
+    _BACKEND = name
+
+
+def get_attention_backend() -> str:
+    return _BACKEND
+
+
+@functools.cache
+def _default_is_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+def init_attention(key, query_dim, *, context_dim=None, heads=8, dim_head=64,
+                   param_dtype=jnp.float32):
+    inner = heads * dim_head
+    context_dim = query_dim if context_dim is None else context_dim
+    ks = jax.random.split(key, 4)
+    return {
+        'to_q': init_linear(ks[0], query_dim, inner, bias=False, param_dtype=param_dtype),
+        'to_k': init_linear(ks[1], context_dim, inner, bias=False, param_dtype=param_dtype),
+        'to_v': init_linear(ks[2], context_dim, inner, bias=False, param_dtype=param_dtype),
+        'to_out': init_linear(ks[3], inner, query_dim, bias=True, param_dtype=param_dtype),
+    }
+
+
+def _xla_attention(q, k, v, scale):
+    """(B, N, H, D) x (B, M, H, D) -> (B, N, H, D); softmax in fp32."""
+    logits = jnp.einsum('bnhd,bmhd->bhnm', q * scale, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum('bhnm,bmhd->bnhd', probs, v)
+
+
+def _flash_ok(q, k):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    return d <= 128 and n % 128 == 0 and m >= 16
+
+
+def attention(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
+              deterministic=True, backend=None):
+    """x: (B, N, Dq); context: (B, M, Dc) or None (self-attention)."""
+    b, n, _ = x.shape
+    ctx = x if context is None else context
+    q = linear(p['to_q'], x)
+    k = linear(p['to_k'], ctx)
+    v = linear(p['to_v'], ctx)
+    dim_head = q.shape[-1] // heads
+    q = q.reshape(b, n, heads, dim_head)
+    k = k.reshape(b, ctx.shape[1], heads, dim_head)
+    v = v.reshape(b, ctx.shape[1], heads, dim_head)
+    scale = dim_head ** -0.5
+
+    backend = backend or _BACKEND
+    if backend == 'auto':
+        backend = 'flash' if (_default_is_tpu() and _flash_ok(q, k)) else 'xla'
+
+    if backend == 'flash':
+        from ..ops.flash_attention import flash_attention
+        out = flash_attention(q, k, v, scale=scale)
+    else:
+        out = _xla_attention(q, k, v, scale)
+
+    out = out.reshape(b, n, heads * dim_head)
+    out = linear(p['to_out'], out)
+    return _dropout(out, dropout_rate, key=key, deterministic=deterministic)

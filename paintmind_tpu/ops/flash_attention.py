@@ -1,0 +1,118 @@
+"""Pallas TPU flash attention (non-causal, self or cross).
+
+TPU-native replacement for xformers' ``memory_efficient_attention``
+(reference paintmind/modules/attention.py:100).  The PaintMind workloads are
+fixed, short sequences — 1024 image tokens and 77 text tokens
+(SURVEY.md §2.4) — so the kernel keeps the full K/V for one (batch, head) in
+VMEM and blocks only over queries: attention logits never touch HBM, softmax
+runs in fp32 on the VPU, and both matmuls land on the MXU.
+
+Layout: inputs are transposed to (B, H, N, D) so each block's trailing dims
+are (block_q, D) with D equal to the full minor dimension — the layout the
+Mosaic lowering requires; XLA fuses the transposes into the surrounding
+projection reshapes.
+
+Backward: ``custom_vjp`` recomputes the forward with the plain XLA einsum
+path and differentiates that — O(N·M) memory only inside the bwd jit, which
+XLA handles fine at seq 1024; a dedicated Pallas backward kernel is a later
+optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_q):
+    # q_ref: (1, 1, BLOCK_Q, D); k_ref/v_ref: (1, 1, M_pad, D)
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    m_pad = k.shape[0]
+    if kv_len < m_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=('scale',))
+def _flash_forward(q, k, v, scale):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    m_pad = _round_up(m, 128)
+    if m_pad != m:
+        pad = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    # (B, N, H, D) -> (B, H, N, D)
+    qf = q.transpose(0, 2, 1, 3)
+    kf = k.transpose(0, 2, 1, 3)
+    vf = v.transpose(0, 2, 1, 3)
+
+    block_q = min(n, 512)
+    grid = (b, h, n // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_len=m, block_q=block_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * m * d,
+            bytes_accessed=(2 * b * n * h * d + 2 * b * m_pad * h * d) * q.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+    )(qf, kf, vf)
+    return out.transpose(0, 2, 1, 3)
+
+
+def _xla_reference(q, k, v, scale):
+    logits = jnp.einsum('bnhd,bmhd->bhnm', q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum('bhnm,bmhd->bnhd', p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale):
+    return _flash_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

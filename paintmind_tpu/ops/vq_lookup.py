@@ -1,0 +1,102 @@
+"""Pallas TPU fused codebook nearest-neighbor lookup.
+
+The reference quantizer materializes a (B·L, 8192) distance matrix in memory
+and argmins it (paintmind/stage1/quantize.py:24-28).  With both sides
+l2-normalized the argmin equals argmax of the similarity matmul, and this
+kernel fuses matmul + running argmax so the (tokens, 8192) score matrix
+never leaves VMEM — at batch 16 that's ~0.5 GB of HBM traffic avoided per
+forward.
+
+Grid: (token blocks, codebook blocks), codebook innermost; a VMEM scratch
+carries the running (best value, best index) per token across codebook
+blocks and the index block is written on the last codebook step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lookup_kernel(z_ref, e_ref, idx_ref, best_val, best_idx, *, block_c):
+    ci = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _():
+        best_val[:] = jnp.full_like(best_val, -jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    # (BLOCK_T, D) x (BLOCK_C, D)^T -> (BLOCK_T, BLOCK_C)
+    scores = jax.lax.dot_general(z_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    local_val = jnp.max(scores, axis=-1, keepdims=True)
+    local_arg = jnp.argmax(scores, axis=-1).astype(jnp.int32)[:, None]
+    local_idx = local_arg + ci * block_c
+
+    take_new = local_val > best_val[:]
+    best_idx[:] = jnp.where(take_new, local_idx, best_idx[:])
+    best_val[:] = jnp.maximum(local_val, best_val[:])
+
+    @pl.when(ci == n_c - 1)
+    def _():
+        idx_ref[:] = best_idx[:]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@jax.jit
+def fused_nearest_codes(z_norm, codebook_norm):
+    """z_norm: (..., D) l2-normalized queries; codebook_norm: (C, D).
+    Returns int32 indices of shape z_norm.shape[:-1]."""
+    shape = z_norm.shape[:-1]
+    d = z_norm.shape[-1]
+    c = codebook_norm.shape[0]
+    t = 1
+    for s in shape:
+        t *= s
+    z = z_norm.reshape(t, d).astype(jnp.float32)
+    e = codebook_norm.astype(jnp.float32)
+
+    t_pad = _round_up(max(t, 8), 8)
+    if t_pad != t:
+        z = jnp.pad(z, [(0, t_pad - t), (0, 0)])
+
+    block_t = min(t_pad, 1024)
+    # pad token count to a block multiple
+    t_blocks = -(-t_pad // block_t)
+    if t_blocks * block_t != t_pad:
+        z = jnp.pad(z, [(0, t_blocks * block_t - t_pad), (0, 0)])
+        t_pad = t_blocks * block_t
+    block_c = min(c, 2048)
+    assert c % block_c == 0, (c, block_c)
+
+    idx = pl.pallas_call(
+        functools.partial(_lookup_kernel, block_c=block_c),
+        grid=(t_pad // block_t, c // block_c),
+        in_specs=[
+            pl.BlockSpec((block_t, d), lambda ti, ci: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, d), lambda ti, ci: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, 1), lambda ti, ci: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_t, 1), jnp.float32),
+            pltpu.VMEM((block_t, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * c * d,
+            bytes_accessed=(t_pad * d + c * d + t_pad) * 4,
+            transcendentals=0,
+        ),
+    )(z, e)
+    return idx[:t, 0].reshape(shape)

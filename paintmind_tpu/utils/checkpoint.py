@@ -1,0 +1,86 @@
+"""Checkpoint IO: npz / orbax for our pytrees, plus reference .pt import.
+
+The reference saves bare ``state_dict`` .pt files and restores with
+``load_state_dict(torch.load(path))`` (paintmind/utils/trainer.py:261-264,
+paintmind/stage1/vqmodel.py:43-44).  We support three formats:
+
+  * ``*.pt``          — reference torch checkpoints, converted on load
+                        (convert/torch_weights); this keeps
+                        ``create_model(pretrained=True)`` working against the
+                        published RootYuan weights.
+  * ``*.npz``         — flat single-file numpy archive (fast, dependency-free).
+  * directory         — orbax StandardCheckpointer (async-capable; used by the
+                        trainers for full train state: params + opt state +
+                        step + PRNG key, which exceeds the reference's
+                        model-only snapshots).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEP = '/'
+
+
+def flatten_tree(tree):
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_like(template, flat):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
+        if key not in flat:
+            raise KeyError(f'checkpoint missing parameter {key!r}')
+        value = np.asarray(flat[key])
+        if value.shape != leaf.shape:
+            raise ValueError(f'shape mismatch for {key!r}: checkpoint '
+                             f'{value.shape} vs model {leaf.shape}')
+        leaves.append(jnp.asarray(value, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_params(path, params):
+    if str(path).endswith('.npz'):
+        np.savez(path, **flatten_tree(params))
+    else:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   jax.tree_util.tree_map(np.asarray, params))
+        ckptr.wait_until_finished()
+    return path
+
+
+def load_params(path, template, model='vqgan'):
+    """Load params from .pt / .npz / orbax dir into the template's structure."""
+    path = str(path)
+    if path.endswith('.pt') or path.endswith('.pth') or path.endswith('.bin'):
+        from ..convert import torch_weights as tw
+        sd = tw.load_torch_state_dict(path)
+        if model == 'vqgan':
+            converted = tw.convert_vqmodel(sd)
+        elif model == 'pipeline':
+            converted = tw.convert_pipeline(sd)
+        elif model == 'cond_transformer':
+            converted = tw.convert_cond_transformer(sd)
+        else:
+            raise ValueError(f'unknown model kind {model!r}')
+        return unflatten_like(template, flatten_tree(converted))
+    if path.endswith('.npz'):
+        with np.load(path) as data:
+            return unflatten_like(template, dict(data))
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             jax.tree_util.tree_map(np.asarray, template))
+    return jax.tree_util.tree_map(jnp.asarray, restored)

@@ -1,0 +1,28 @@
+"""Test session setup.
+
+Runs everything on a virtual 8-device CPU mesh
+(`--xla_force_host_platform_device_count=8`) — the substitute for multi-chip
+hardware per SURVEY.md §4(c); sharding/SPMD tests rely on it.  Must run
+before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# The hosted TPU plugin prepends its own platform to jax_platforms, silently
+# overriding the env var — force CPU explicitly so tests never touch the chip.
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

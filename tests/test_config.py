@@ -1,0 +1,27 @@
+import json
+
+from paintmind_tpu import Config, ver2cfg
+
+
+def test_roundtrip(tmp_path):
+    cfg = Config(ver2cfg['vit-s-vqgan'])
+    assert cfg.n_embed == 8192
+    assert cfg.enc['patch_size'] == 8
+    d = cfg.to_dict()
+    d['n_embed'] = 4096
+    assert cfg.n_embed == 8192  # to_dict deep-copies
+
+    path = tmp_path / 'c.json'
+    cfg.to_json(path)
+    cfg2 = Config()
+    cfg2.from_json(path)
+    assert cfg2.to_dict() == cfg.to_dict()
+    assert json.loads(cfg.to_json_string())['embed_dim'] == 32
+
+
+def test_registry_matches_reference_hparams():
+    v = ver2cfg['vit-s-vqgan']
+    assert (v['n_embed'], v['embed_dim'], v['beta']) == (8192, 32, 0.25)
+    assert v['enc']['dim'] == 512 and v['enc']['depth'] == 8
+    p = ver2cfg['paintmindv1']
+    assert (p['dim'], p['depth'], p['num_head']) == (1024, 12, 16)
