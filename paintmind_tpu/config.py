@@ -103,3 +103,11 @@ ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
     'paintmindv1': pipeline_v1_config,
 }
+
+
+def register_version(name, config):
+    """Register a new model version in the ``ver2cfg`` registry so
+    ``create_model(version=name)`` and pipeline ``stage1`` references
+    resolve it (extension over the reference's static registry)."""
+    ver2cfg[name] = dict(config)
+    return name

@@ -1,0 +1,449 @@
+"""Stage-2 MaskGIT pipeline: frozen VQGAN + frozen T5 + conditional
+transformer, with training loss and iterative parallel decoding.
+
+Functional equivalent of the reference Pipeline (paintmind/generate.py:49-236):
+
+  * training forward: encode image → per-sample random masking → transformer
+    → masked cross-entropy with label smoothing 0.1 (generate.py:110-146)
+  * inference: cosine-schedule confidence re-masking loop
+    (generate.py:159-198), here a single jit-compiled fixed-step ``lax.scan``
+    with static shapes — per-step mask counts and temperatures are
+    precomputed host-side, gumbel sampling uses threaded PRNG keys, and
+    image decoding happens outside the scan only for the steps requested.
+  * inpaint / outpaint: the same loop seeded with a rectangular latent mask
+    (generate.py:200-236) — implemented with integer ``where`` instead of
+    the reference's float-mask arithmetic (dtype bug noted in SURVEY §2.5).
+  * classifier-free guidance at sampling time (extension over the reference,
+    which only trains for it via caption dropout, trainer.py:387-388):
+    ``logits = uncond + scale·(cond − uncond)`` where the unconditional
+    branch runs the transformer with context=None (cross-attn sublayers
+    self-attend, exactly the trained uncond behavior).
+
+Parity notes kept deliberately:
+  * ``ids2tokens`` embeds sampling-time tokens from the **raw** codebook
+    rows + mask token (generate.py:148-157), while training feeds
+    l2-normalized quantizer outputs — a reference inconsistency we preserve
+    by default for checkpoint parity (``normalize_sample_tokens`` opts into
+    the consistent behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ver2cfg
+from . import quantize as vq
+from . import vqmodel as vm
+from .transformer import CondTransformerConfig, cond_transformer_apply, \
+    init_cond_transformer
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    stage1: str = 'vit-s-vqgan'
+    t5: str = 't5-l'
+    dim: int = 1024
+    dim_head: int = 64
+    mlp_dim: int = 4096
+    num_head: int = 16
+    depth: int = 12
+    dropout: float = 0.1
+    vqc: vm.VQModelConfig = vm.VQModelConfig()
+    t5_dim: int = 1024
+    normalize_sample_tokens: bool = False
+
+    @classmethod
+    def from_dict(cls, d):
+        d = d if isinstance(d, dict) else d.to_dict()
+        vqc = vm.VQModelConfig.from_dict(ver2cfg[d['stage1']])
+        t5_dim = {'t5-l': 1024, 't5-xl': 2048, 't5-xxl': 4096}[d['t5']]
+        return cls(stage1=d['stage1'], t5=d['t5'], dim=d['dim'],
+                   dim_head=d['dim_head'], mlp_dim=d['mlp_dim'],
+                   num_head=d['num_head'], depth=d['depth'],
+                   dropout=d['dropout'], vqc=vqc, t5_dim=t5_dim)
+
+    @property
+    def image_size(self):
+        return self.vqc.enc.image_size
+
+    @property
+    def patch_size(self):
+        return self.vqc.enc.patch_size
+
+    @property
+    def num_tokens(self):
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def mask_token_id(self):
+        return self.vqc.n_embed
+
+    @property
+    def tcfg(self) -> CondTransformerConfig:
+        return CondTransformerConfig(
+            in_dim=self.vqc.embed_dim, dim=self.dim, len_seq=self.num_tokens,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim,
+            num_head=self.num_head, depth=self.depth, dropout=self.dropout,
+            context_dim=self.t5_dim, num_classes=self.vqc.n_embed)
+
+
+# ---------------------------------------------------------------------------
+# Training-path pure functions
+# ---------------------------------------------------------------------------
+
+def init_pipeline(key, cfg: PipelineConfig, param_dtype=jnp.float32,
+                  vqgan_params=None):
+    k_vq, k_tr, k_mask = jax.random.split(key, 3)
+    if vqgan_params is None:
+        vqgan_params = vm.init_vqmodel(k_vq, cfg.vqc, param_dtype)
+    return {
+        'vqgan': vqgan_params,
+        'transformer': init_cond_transformer(k_tr, cfg.tcfg, param_dtype),
+        # (reference generate.py:70-73): zeros + normal(std=.02)
+        'mask_token': jax.random.normal(k_mask, (1, cfg.vqc.embed_dim),
+                                        param_dtype) * 0.02,
+    }
+
+
+def random_masking(key, x, mask_token, mask_ratio):
+    """Per-sample random masking by rank of uniform noise — exactly
+    equivalent to the reference's argsort/gather/unshuffle construction
+    (generate.py:78-108).  Returns (x_masked, mask) with mask 1 = removed."""
+    n, l, d = x.shape
+    len_mask = jnp.maximum(jnp.asarray(l * mask_ratio).astype(jnp.int32), 1)
+    len_keep = l - len_mask
+    noise = jax.random.uniform(key, (n, l))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    rank = jnp.argsort(ids_shuffle, axis=1)
+    keep = rank < len_keep
+    x = jnp.where(keep[..., None], x, mask_token.astype(x.dtype))
+    mask = 1.0 - keep.astype(jnp.float32)
+    return x, mask
+
+
+def masked_ce_loss(logits, labels, mask, label_smoothing=0.1):
+    """torch F.cross_entropy(label_smoothing=0.1) masked mean
+    (reference generate.py:110-123)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    return jnp.sum(per_tok * mask) / jnp.sum(mask)
+
+
+def pipeline_loss(params, img, context, mask_ratio, key, *,
+                  cfg: PipelineConfig, deterministic=True, backend=None,
+                  remat=False):
+    """Training forward → scalar loss (reference generate.py:136-146).
+    ``context`` is the (B, M, t5_dim) text embedding or None (CFG dropout).
+    The vqgan tower is frozen (stop_gradient), matching the reference's
+    no_grad to_latent (generate.py:125-131)."""
+    k_mask, k_drop = jax.random.split(key)
+    vq_params = jax.lax.stop_gradient(params['vqgan'])
+    z_q, _, ids = vm.encode(vq_params, img, cfg.vqc, backend=backend,
+                            remat=remat)
+    z_q = jax.lax.stop_gradient(z_q)
+    x, mask = random_masking(k_mask, z_q, params['mask_token'], mask_ratio)
+    logits = cond_transformer_apply(
+        params['transformer'], x, context, cfg=cfg.tcfg,
+        key=None if deterministic else k_drop,
+        deterministic=deterministic, backend=backend, remat=remat)
+    return masked_ce_loss(logits, ids, mask)
+
+
+# ---------------------------------------------------------------------------
+# Sampling-path pure functions
+# ---------------------------------------------------------------------------
+
+def mask_schedule(ratio):
+    return np.cos(math.pi / 2.0 * ratio)  # (reference generate.py:25-26)
+
+
+def ids_to_tokens(params, ids, cfg: PipelineConfig):
+    """Gather sampling tokens from [codebook; mask_token]
+    (reference generate.py:148-157 — raw, unnormalized rows)."""
+    codebook = params['vqgan']['quantize']['codebook']
+    if cfg.normalize_sample_tokens:
+        codebook = vq.l2norm(codebook)
+    table = jnp.concatenate([codebook, params['mask_token']], axis=0)
+    return jnp.take(table, ids, axis=0)
+
+
+def _gumbel(key, shape):
+    # reference gumbel_noise (generate.py:40-42): -log(-log(clip(u)))
+    u = jax.random.uniform(key, shape)
+    eps = 1e-20
+    return -jnp.log(-jnp.log(jnp.maximum(u, eps)) + 0.0)
+
+
+def _topk_filter(logits, k):
+    """Keep top-k logits per position, others → -inf
+    (reference top_k, generate.py:33-37)."""
+    vals, _ = jax.lax.top_k(logits, k)
+    thresh = vals[..., -1:]
+    return jnp.where(logits >= thresh, logits, -jnp.inf)
+
+
+def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
+                        backend):
+    cond = cond_transformer_apply(params['transformer'], tokens, context,
+                                  cfg=cfg.tcfg, backend=backend)
+    if guidance_scale is None or context is None:
+        return cond
+    uncond = cond_transformer_apply(params['transformer'], tokens, None,
+                                    cfg=cfg.tcfg, backend=backend)
+    return uncond + guidance_scale * (cond - uncond)
+
+
+def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
+                cfg: PipelineConfig, guidance_scale=None, backend=None):
+    """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
+    Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
+    the re-mask uses a full static sort + rank threshold so the whole loop
+    compiles into one scan."""
+    b, l = ids.shape
+    tokens = ids_to_tokens(params, ids, cfg)
+    logits = _transformer_logits(params, tokens, context, guidance_scale,
+                                 cfg=cfg, backend=backend)
+    filtered = _topk_filter(logits, topk)
+    temp = jnp.maximum(temperature, 1e-10)
+    pred_ids = jnp.argmax(filtered / temp + _gumbel(key, filtered.shape),
+                          axis=-1).astype(ids.dtype)
+
+    is_mask = ids == cfg.mask_token_id
+    ids_filled = jnp.where(is_mask, pred_ids, ids)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    conf = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
+    scores = jnp.where(is_mask, 1.0 - conf, -1e5)  # (generate.py:170-173)
+
+    # re-mask the n_masked lowest-confidence masked positions
+    _, order = jax.lax.top_k(scores, l)  # descending by score
+    ranked_vals = jnp.take_along_axis(ids_filled, order, axis=1)
+    new_vals = jnp.where(jnp.arange(l)[None, :] < n_masked,
+                         jnp.asarray(cfg.mask_token_id, ids.dtype),
+                         ranked_vals)
+    ids_next = ids_filled.at[jnp.arange(b)[:, None], order].set(new_vals)
+    return ids_next, pred_ids
+
+
+def _schedule_arrays(timesteps, temperature, num_tokens):
+    steps = np.arange(1, timesteps + 1)
+    masked_r = mask_schedule(steps / timesteps)
+    n_masked = np.maximum((masked_r * num_tokens).astype(np.int32), 1)
+    temps = temperature * (1.0 - (steps - 1) / timesteps)
+    return jnp.asarray(n_masked), jnp.asarray(temps)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
+                                             'guidance_scale', 'backend'))
+def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
+                 timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
+                 backend=None):
+    """Full iterative decode as one scan (reference generate.py:183-198).
+    Returns (final merged ids, per-step pred_ids trajectory (T, B, L))."""
+    n_masked, temps = _schedule_arrays(timesteps, temperature, cfg.num_tokens)
+    keys = jax.random.split(key, timesteps)
+
+    def body(ids, xs):
+        step_key, n_m, temp = xs
+        ids_next, pred = sample_step(
+            params, ids, step_key, context=context, n_masked=n_m,
+            temperature=temp, topk=topk, cfg=cfg,
+            guidance_scale=guidance_scale, backend=backend)
+        return ids_next, pred
+
+    final_ids, preds = jax.lax.scan(body, init_ids, (keys, n_masked, temps))
+    return final_ids, preds
+
+
+# ---------------------------------------------------------------------------
+# Object API wrapper (reference generate.py:49-236)
+# ---------------------------------------------------------------------------
+
+class Pipeline:
+    def __init__(self, config=None, stage1_pretrained=True,
+                 stage1_checkpoint_path=None, *, text_encoder='auto', seed=0,
+                 param_dtype=jnp.float32, compute_dtype=None, params=None):
+        if config is None:
+            config = Config(ver2cfg['paintmindv1'])
+        self.config = (config if isinstance(config, PipelineConfig)
+                       else PipelineConfig.from_dict(config))
+        cfg = self.config
+        self.compute_dtype = compute_dtype
+
+        from .. import factory
+        self.vqgan = factory.create_model(
+            arch='vqgan', version=cfg.stage1, pretrained=stage1_pretrained,
+            checkpoint_path=stage1_checkpoint_path)
+        self.vqgan.freeze()
+
+        if params is None:
+            params = init_pipeline(jax.random.PRNGKey(seed), cfg, param_dtype,
+                                   vqgan_params=self.vqgan.params)
+        self.params = params
+        self.vqgan.params = self.params['vqgan']
+
+        self.text_model = None
+        if text_encoder == 'auto':
+            pass  # lazy: constructed on first text use
+        elif text_encoder is not None:
+            self.text_model = text_encoder
+
+        self.mask_token_id = cfg.mask_token_id
+        self.num_tokens = cfg.num_tokens
+        self.image_size = cfg.image_size
+        self.patch_size = cfg.patch_size
+        self._key = jax.random.PRNGKey(seed + 1)
+
+        self._loss = jax.jit(functools.partial(pipeline_loss, cfg=cfg))
+
+    # -- helpers ---------------------------------------------------------
+
+    def _next_key(self, key=None):
+        if key is not None:
+            return key
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _get_text_model(self):
+        if self.text_model is None:
+            from .t5 import T5TextEncoder, T5_VERSIONS
+            version, _ = T5_VERSIONS[self.config.t5]
+            self.text_model = T5TextEncoder(version)
+        return self.text_model
+
+    def embed_text(self, text):
+        """list[str] | (B, M, t5_dim) embeddings | None → context or None."""
+        if text is None:
+            return None
+        if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+            return self._get_text_model()(text)
+        arr = jnp.asarray(text)
+        if arr.ndim == 2 and jnp.issubdtype(arr.dtype, jnp.integer):
+            return self._get_text_model().encode_ids(arr)
+        return arr
+
+    # -- training --------------------------------------------------------
+
+    def to_latent(self, img, text=None):
+        """(reference generate.py:125-131)."""
+        z, _, ids = self.vqgan.encode(img)
+        return z, ids, self.embed_text(text)
+
+    def tokens2logits(self, tokens, context=None):
+        return cond_transformer_apply(self.params['transformer'],
+                                      jnp.asarray(tokens), context,
+                                      cfg=self.config.tcfg)
+
+    def forward(self, img, text=None, mask_ratio=0.75, key=None):
+        img = vm._as_nhwc(img)
+        context = self.embed_text(text)
+        return self._loss(self.params, img, context,
+                          jnp.asarray(mask_ratio, jnp.float32),
+                          self._next_key(key))
+
+    __call__ = forward
+
+    def ids2tokens(self, ids):
+        return ids_to_tokens(self.params, jnp.asarray(ids), self.config)
+
+    # -- sampling --------------------------------------------------------
+
+    def sample(self, ids, mask_ratio, text=None, topk=1, temperature=1.0,
+               key=None, guidance_scale=None):
+        """One decode step (reference generate.py:159-181); returns
+        (ids_next, img)."""
+        context = self.embed_text(text)
+        n_masked = max(int(mask_ratio * self.num_tokens), 1)
+        ids_next, pred = sample_step(
+            self.params, jnp.asarray(ids), self._next_key(key),
+            context=context, n_masked=n_masked, temperature=temperature,
+            topk=topk, cfg=self.config, guidance_scale=guidance_scale)
+        img = self.vqgan.decode_from_indice(pred)
+        return ids_next, img
+
+    def generate(self, text=None, timesteps=18, temperature=1.0, topk=5,
+                 save_interval=2, key=None, guidance_scale=None,
+                 num_samples=None, decode_steps='saved'):
+        """(reference generate.py:183-198).  Returns a list of image
+        batches — one per saved step ('saved', parity) or just the final
+        image batch ('final')."""
+        context = self.embed_text(text)
+        if context is not None:
+            b = context.shape[0]
+        else:
+            b = num_samples or 1
+        init_ids = jnp.full((b, self.num_tokens), self.mask_token_id,
+                            dtype=jnp.int32)
+        _, preds = generate_ids(
+            self.params, self._next_key(key), init_ids, context,
+            cfg=self.config, timesteps=timesteps, temperature=temperature,
+            topk=topk, guidance_scale=guidance_scale)
+        if decode_steps == 'final':
+            steps = [timesteps - 1]
+        else:  # parity: every save_interval-th step (generate.py:195-196)
+            steps = list(range(0, timesteps, save_interval))
+        sel = preds[jnp.asarray(steps)]  # (S, B, L)
+        s = len(steps)
+        imgs = self.vqgan.decode_from_indice(
+            sel.reshape(s * b, self.num_tokens))
+        imgs = imgs.reshape(s, b, *imgs.shape[1:])
+        return [imgs[i] for i in range(s)]
+
+    def _rect_latent_mask(self, coord, inside):
+        """(reference generate.py:204-210): latent-grid mask from pixel rect
+        coord=(x, y, h, w); `inside`=value inside the rect."""
+        s = self.patch_size
+        g = self.image_size // s
+        x, y, h, w = (c // s for c in coord)
+        keep = np.full((g, g), 1 - inside, dtype=np.int32)
+        keep[y:y + h, x:x + w] = inside
+        return jnp.asarray(keep.reshape(1, -1))
+
+    def _paint(self, img, coord, text, timesteps, topk, temperature, key,
+               keep_mask, guidance_scale):
+        _, ids, context = self.to_latent(img, text)
+        ids = jnp.where(keep_mask.astype(bool), ids,
+                        jnp.asarray(self.mask_token_id, ids.dtype))
+        _, preds = generate_ids(
+            self.params, self._next_key(key), ids, context, cfg=self.config,
+            timesteps=timesteps, temperature=temperature, topk=topk,
+            guidance_scale=guidance_scale)
+        return self.vqgan.decode_from_indice(preds[-1])
+
+    def inpaint(self, img, coord, text=None, timesteps=1, topk=1,
+                temperature=0.0, key=None, guidance_scale=None):
+        """Regenerate inside the rect (reference generate.py:200-217)."""
+        keep = self._rect_latent_mask(coord, inside=0)
+        return self._paint(img, coord, text, timesteps, topk, temperature,
+                           key, keep, guidance_scale)
+
+    def outpaint(self, img, coord, text=None, timesteps=1, topk=1,
+                 temperature=0.0, key=None, guidance_scale=None):
+        """Regenerate outside the rect (reference generate.py:219-236)."""
+        keep = self._rect_latent_mask(coord, inside=1)
+        return self._paint(img, coord, text, timesteps, topk, temperature,
+                           key, keep, guidance_scale)
+
+    # -- checkpointing ---------------------------------------------------
+
+    def from_pretrained(self, path):
+        from ..utils.checkpoint import load_params
+        self.params = load_params(path, template=self.params, model='pipeline')
+        self.vqgan.params = self.params['vqgan']
+        return self
+
+    def save_pretrained(self, path):
+        from ..utils.checkpoint import save_params
+        return save_params(path, self.params)
+
+    @property
+    def num_params(self):
+        return sum(x.size for x in jax.tree_util.tree_leaves(self.params))

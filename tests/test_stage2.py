@@ -1,0 +1,245 @@
+"""Stage-2 parity and behavior tests: CondTransformer golden parity vs the
+torch reference, masking/loss equivalence, and sampler invariants."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import paintmind_tpu.config as pmc  # noqa: E402
+from paintmind_tpu.convert import torch_weights as tw  # noqa: E402
+from paintmind_tpu.models import pipeline as pl  # noqa: E402
+from paintmind_tpu.models import transformer as st2  # noqa: E402
+from reference_oracle import ref_module  # noqa: E402
+
+
+def _mae(a, b):
+    return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+SMALL_VQ = {
+    'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
+    'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'in_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+    'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'out_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+}
+pmc.register_version('test-vqgan', SMALL_VQ)
+
+SMALL_PIPE = pl.PipelineConfig(
+    stage1='test-vqgan', t5='t5-l', dim=32, dim_head=16, mlp_dim=64,
+    num_head=2, depth=2, dropout=0.0,
+    vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=48)
+
+
+@pytest.fixture(scope='module')
+def pipe_params():
+    return pl.init_pipeline(jax.random.PRNGKey(0), SMALL_PIPE)
+
+
+def test_cond_transformer_parity(rng):
+    tref = ref_module('stage2.transformer')
+    torch.manual_seed(0)
+    m = tref.CondTransformer(in_dim=16, dim=64, len_seq=16, dim_head=16,
+                             mlp_dim=128, num_head=4, depth=2, dropout=0.0,
+                             context_dim=96, num_classes=128)
+    m.eval()
+    x = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    ctx = rng.standard_normal((2, 7, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref_cond = m(torch.tensor(x), torch.tensor(ctx)).numpy()
+        ref_uncond = m(torch.tensor(x), None).numpy()
+
+    cfg = st2.CondTransformerConfig(in_dim=16, dim=64, len_seq=16,
+                                    dim_head=16, mlp_dim=128, num_head=4,
+                                    depth=2, dropout=0.0, context_dim=96,
+                                    num_classes=128)
+    p = jax.tree_util.tree_map(
+        jnp.asarray, tw.convert_cond_transformer(m.state_dict()))
+    out_cond = st2.cond_transformer_apply(p, jnp.asarray(x), jnp.asarray(ctx),
+                                          cfg=cfg, backend='xla')
+    out_uncond = st2.cond_transformer_apply(p, jnp.asarray(x), None,
+                                            cfg=cfg, backend='xla')
+    assert _mae(out_cond, ref_cond) < 1e-5
+    assert _mae(out_uncond, ref_uncond) < 1e-5
+
+
+def test_random_masking_matches_reference_algorithm(rng):
+    """Replicate the reference's argsort/gather/unshuffle construction
+    (generate.py:78-108) in numpy on the same noise and compare."""
+    key = jax.random.PRNGKey(3)
+    n, l, d = 4, 16, 8
+    x = rng.standard_normal((n, l, d)).astype(np.float32)
+    mask_token = rng.standard_normal((1, d)).astype(np.float32)
+    ratio = 0.6
+
+    out_x, out_mask = pl.random_masking(key, jnp.asarray(x),
+                                        jnp.asarray(mask_token), ratio)
+
+    noise = np.asarray(jax.random.uniform(key, (n, l)))
+    len_mask = max(int(l * ratio), 1)
+    len_keep = l - len_mask
+    ids_shuffle = np.argsort(noise, axis=1)
+    ids_restore = np.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    kept = np.take_along_axis(x, ids_keep[..., None].repeat(d, -1), axis=1)
+    mask_tokens = np.broadcast_to(mask_token, (n, l - len_keep, d))
+    cat = np.concatenate([kept, mask_tokens], axis=1)
+    ref_x = np.take_along_axis(cat, ids_restore[..., None].repeat(d, -1), axis=1)
+    ref_mask = np.ones((n, l), np.float32)
+    ref_mask[:, :len_keep] = 0
+    ref_mask = np.take_along_axis(ref_mask, ids_restore, axis=1)
+
+    assert _mae(out_x, ref_x) < 1e-7
+    assert np.array_equal(np.asarray(out_mask), ref_mask)
+
+
+def test_masked_ce_loss_parity(rng):
+    logits = rng.standard_normal((2, 10, 32)).astype(np.float32)
+    labels = rng.integers(0, 32, (2, 10))
+    mask = (rng.random((2, 10)) > 0.5).astype(np.float32)
+    mask[0, 0] = 1.0  # ensure nonzero
+    lt = torch.nn.functional.cross_entropy(
+        torch.tensor(logits).reshape(-1, 32), torch.tensor(labels).reshape(-1),
+        label_smoothing=0.1, reduction='none')
+    ref = float((lt * torch.tensor(mask).reshape(-1)).sum() / mask.sum())
+    ours = float(pl.masked_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   jnp.asarray(mask)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_pipeline_loss_runs(pipe_params, rng):
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ctx = rng.standard_normal((2, 5, 48)).astype(np.float32)
+    loss = pl.pipeline_loss(pipe_params, jnp.asarray(img), jnp.asarray(ctx),
+                            jnp.asarray(0.75), jax.random.PRNGKey(0),
+                            cfg=SMALL_PIPE, backend='xla')
+    assert np.isfinite(float(loss))
+    # uncond (CFG-dropout) branch
+    loss_u = pl.pipeline_loss(pipe_params, jnp.asarray(img), None,
+                              jnp.asarray(0.5), jax.random.PRNGKey(1),
+                              cfg=SMALL_PIPE, backend='xla')
+    assert np.isfinite(float(loss_u))
+    # gradients flow to transformer + mask_token but NOT the frozen vqgan
+    grads = jax.grad(lambda p: pl.pipeline_loss(
+        p, jnp.asarray(img), None, jnp.asarray(0.5), jax.random.PRNGKey(1),
+        cfg=SMALL_PIPE, backend='xla'))(pipe_params)
+    assert float(jnp.abs(grads['mask_token']).sum()) > 0
+    vq_norm = sum(float(jnp.abs(g).sum())
+                  for g in jax.tree_util.tree_leaves(grads['vqgan']))
+    assert vq_norm == 0.0
+
+
+def test_sample_step_invariants(pipe_params):
+    cfg = SMALL_PIPE
+    b, l = 2, cfg.num_tokens
+    ids = jnp.full((b, l), cfg.mask_token_id, dtype=jnp.int32)
+    n_masked = 5
+    ids_next, pred = pl.sample_step(
+        pipe_params, ids, jax.random.PRNGKey(0), context=None,
+        n_masked=n_masked, temperature=1.0, topk=3, cfg=cfg, backend='xla')
+    assert pred.shape == (b, l)
+    assert int(pred.max()) < cfg.vqc.n_embed and int(pred.min()) >= 0
+    # exactly n_masked positions re-masked
+    assert np.all(np.asarray((ids_next == cfg.mask_token_id).sum(axis=1)) == n_masked)
+    # determinism: same key → same result
+    ids2, pred2 = pl.sample_step(
+        pipe_params, ids, jax.random.PRNGKey(0), context=None,
+        n_masked=n_masked, temperature=1.0, topk=3, cfg=cfg, backend='xla')
+    assert np.array_equal(np.asarray(ids_next), np.asarray(ids2))
+
+
+def test_sample_step_preserves_unmasked(pipe_params, rng):
+    cfg = SMALL_PIPE
+    b, l = 2, cfg.num_tokens
+    ids = jnp.asarray(rng.integers(0, cfg.vqc.n_embed, (b, l)), jnp.int32)
+    keep = jnp.asarray(rng.random((b, l)) > 0.5)
+    ids = jnp.where(keep, ids, cfg.mask_token_id)
+    ids_next, _ = pl.sample_step(
+        pipe_params, ids, jax.random.PRNGKey(1), context=None, n_masked=1,
+        temperature=0.5, topk=2, cfg=cfg, backend='xla')
+    # previously-unmasked tokens survive (scores for them are -1e5 so they
+    # are only re-masked in the degenerate n_masked > masked-count case)
+    still = np.asarray(keep & (ids_next != cfg.mask_token_id))
+    changed = np.asarray(ids)[still] != np.asarray(ids_next)[still]
+    assert not changed.any()
+
+
+def test_generate_ids_trajectory(pipe_params):
+    cfg = SMALL_PIPE
+    init = jnp.full((2, cfg.num_tokens), cfg.mask_token_id, jnp.int32)
+    final_ids, preds = pl.generate_ids(
+        pipe_params, jax.random.PRNGKey(0), init, None, cfg=cfg,
+        timesteps=6, temperature=1.0, topk=3, backend='xla')
+    assert preds.shape == (6, 2, cfg.num_tokens)
+    # reference always re-masks ≥1 token even on the last step
+    assert np.all(np.asarray((final_ids == cfg.mask_token_id).sum(1)) >= 1)
+    # guidance_scale=1.0 with context == plain conditional
+    ctx = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 5, 48)).astype(np.float32))
+    f1, p1 = pl.generate_ids(pipe_params, jax.random.PRNGKey(2), init, ctx,
+                             cfg=cfg, timesteps=4, topk=3, backend='xla')
+    f2, p2 = pl.generate_ids(pipe_params, jax.random.PRNGKey(2), init, ctx,
+                             cfg=cfg, timesteps=4, topk=3,
+                             guidance_scale=1.0, backend='xla')
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pipeline_class_end_to_end(rng):
+    from paintmind_tpu.models.pipeline import Pipeline
+    pipe = Pipeline(SMALL_PIPE, stage1_pretrained=False, text_encoder=None)
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ctx = rng.standard_normal((2, 5, 48)).astype(np.float32)
+
+    loss = pipe(img, text=ctx, mask_ratio=0.6)
+    assert np.isfinite(float(loss))
+
+    imgs = pipe.generate(text=ctx, timesteps=6, save_interval=2, topk=3)
+    assert len(imgs) == 3
+    assert imgs[0].shape == (2, 32, 32, 3)
+
+    out = pipe.inpaint(img, (8, 8, 16, 16), text=ctx, timesteps=2)
+    assert out.shape == (2, 32, 32, 3)
+    out = pipe.outpaint(img, (8, 8, 16, 16), text=ctx, timesteps=2)
+    assert out.shape == (2, 32, 32, 3)
+
+    # unconditional generation
+    imgs_u = pipe.generate(num_samples=2, timesteps=4, decode_steps='final')
+    assert len(imgs_u) == 1 and imgs_u[0].shape == (2, 32, 32, 3)
+
+
+def test_pipeline_torch_checkpoint_import(tmp_path, rng):
+    """Stage-2 torch Pipeline checkpoints contain transformer + mask_token +
+    frozen vqgan (reference trainer.py:372-375); verify the converter maps
+    a reference-shaped state_dict onto our pytree."""
+    tref = ref_module('stage2.transformer')
+    vqm = ref_module('stage1.vqmodel')
+    from paintmind_tpu import Config
+    torch.manual_seed(0)
+    tvq = vqm.VQModel(Config(SMALL_VQ))
+    ttr = tref.CondTransformer(in_dim=8, dim=32, len_seq=16, dim_head=16,
+                               mlp_dim=64, num_head=2, depth=2, dropout=0.0,
+                               context_dim=48, num_classes=64)
+    sd = {}
+    sd.update({f'vqgan.{k}': v for k, v in tvq.state_dict().items()})
+    sd.update({f'transformer.{k}': v for k, v in ttr.state_dict().items()})
+    sd['mask_token'] = torch.zeros(1, 8).normal_(std=0.02)
+    path = tmp_path / 'pipe.pt'
+    torch.save(sd, path)
+
+    from paintmind_tpu.models.pipeline import Pipeline
+    pipe = Pipeline(SMALL_PIPE, stage1_pretrained=False, text_encoder=None)
+    pipe.from_pretrained(str(path))
+    assert _mae(pipe.params['mask_token'], sd['mask_token'].numpy()) < 1e-7
+    # transformer parity after load
+    x = rng.standard_normal((1, 16, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 4, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ttr(torch.tensor(x), torch.tensor(ctx)).numpy()
+    ours = pipe.tokens2logits(x, jnp.asarray(ctx))
+    assert _mae(ours, ref_logits) < 1e-5
