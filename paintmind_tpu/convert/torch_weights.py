@@ -21,9 +21,11 @@ import numpy as np
 
 
 def _np(t):
+    # copy: torch .numpy() shares memory, and in-place torch updates (e.g.
+    # BatchNorm running stats) would silently mutate converted weights
     if isinstance(t, np.ndarray):
-        return t
-    return t.detach().cpu().numpy()
+        return np.array(t)
+    return np.array(t.detach().cpu().numpy())
 
 
 def _linear(sd, prefix, bias=True):

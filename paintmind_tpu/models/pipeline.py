@@ -191,7 +191,10 @@ def _topk_filter(logits, k):
 
 
 def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
-                        backend):
+                        backend, dtype=None):
+    if dtype is not None:
+        tokens = tokens.astype(dtype)
+        context = context.astype(dtype) if context is not None else None
     cond = cond_transformer_apply(params['transformer'], tokens, context,
                                   cfg=cfg.tcfg, backend=backend)
     if guidance_scale is None or context is None:
@@ -202,7 +205,8 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
 
 
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
-                cfg: PipelineConfig, guidance_scale=None, backend=None):
+                cfg: PipelineConfig, guidance_scale=None, backend=None,
+                dtype=None):
     """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
     Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
     the re-mask uses a full static sort + rank threshold so the whole loop
@@ -210,7 +214,7 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
     b, l = ids.shape
     tokens = ids_to_tokens(params, ids, cfg)
     logits = _transformer_logits(params, tokens, context, guidance_scale,
-                                 cfg=cfg, backend=backend)
+                                 cfg=cfg, backend=backend, dtype=dtype)
     filtered = _topk_filter(logits, topk)
     temp = jnp.maximum(temperature, 1e-10)
     pred_ids = jnp.argmax(filtered / temp + _gumbel(key, filtered.shape),
@@ -242,10 +246,11 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
-                                             'guidance_scale', 'backend'))
+                                             'guidance_scale', 'backend',
+                                             'dtype'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
-                 backend=None):
+                 backend=None, dtype=None):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L))."""
     n_masked, temps = _schedule_arrays(timesteps, temperature, cfg.num_tokens)
@@ -256,7 +261,7 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
         ids_next, pred = sample_step(
             params, ids, step_key, context=context, n_masked=n_m,
             temperature=temp, topk=topk, cfg=cfg,
-            guidance_scale=guidance_scale, backend=backend)
+            guidance_scale=guidance_scale, backend=backend, dtype=dtype)
         return ids_next, pred
 
     final_ids, preds = jax.lax.scan(body, init_ids, (keys, n_masked, temps))
@@ -281,7 +286,8 @@ class Pipeline:
         from .. import factory
         self.vqgan = factory.create_model(
             arch='vqgan', version=cfg.stage1, pretrained=stage1_pretrained,
-            checkpoint_path=stage1_checkpoint_path)
+            checkpoint_path=stage1_checkpoint_path,
+            compute_dtype=compute_dtype)
         self.vqgan.freeze()
 
         if params is None:
@@ -365,7 +371,8 @@ class Pipeline:
         ids_next, pred = sample_step(
             self.params, jnp.asarray(ids), self._next_key(key),
             context=context, n_masked=n_masked, temperature=temperature,
-            topk=topk, cfg=self.config, guidance_scale=guidance_scale)
+            topk=topk, cfg=self.config, guidance_scale=guidance_scale,
+            dtype=self.compute_dtype)
         img = self.vqgan.decode_from_indice(pred)
         return ids_next, img
 
@@ -385,7 +392,8 @@ class Pipeline:
         _, preds = generate_ids(
             self.params, self._next_key(key), init_ids, context,
             cfg=self.config, timesteps=timesteps, temperature=temperature,
-            topk=topk, guidance_scale=guidance_scale)
+            topk=topk, guidance_scale=guidance_scale,
+            dtype=self.compute_dtype)
         if decode_steps == 'final':
             steps = [timesteps - 1]
         else:  # parity: every save_interval-th step (generate.py:195-196)
@@ -415,7 +423,7 @@ class Pipeline:
         _, preds = generate_ids(
             self.params, self._next_key(key), ids, context, cfg=self.config,
             timesteps=timesteps, temperature=temperature, topk=topk,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, dtype=self.compute_dtype)
         return self.vqgan.decode_from_indice(preds[-1])
 
     def inpaint(self, img, coord, text=None, timesteps=1, topk=1,

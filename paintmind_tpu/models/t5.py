@@ -145,7 +145,9 @@ def t5_encode(params, input_ids, cfg: T5Config, dtype=jnp.float32):
 def convert_t5_encoder(sd, prefix=''):
     """HF torch T5EncoderModel state_dict → our pytree."""
     def np_(t):
-        return t if isinstance(t, np.ndarray) else t.detach().cpu().numpy()
+        # copy — torch .numpy() shares memory with live torch tensors
+        return np.array(t if isinstance(t, np.ndarray)
+                        else t.detach().cpu().numpy())
 
     def g(name):
         return np_(sd[prefix + name])

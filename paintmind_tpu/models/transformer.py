@@ -78,4 +78,8 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                     dropout_rate=cfg.dropout, key=key,
                     deterministic=deterministic, backend=backend, remat=remat)
     x = layernorm(p['norm'], x)
-    return linear(p['to_logits'], x.astype(jnp.float32))
+    # vocab projection: matmul in the activation dtype (MXU/bf16-friendly)
+    # with fp32 accumulation + fp32 logits out
+    logits = jnp.dot(x, p['to_logits']['kernel'].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits + p['to_logits']['bias'].astype(jnp.float32)

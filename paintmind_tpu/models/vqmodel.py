@@ -188,8 +188,10 @@ def encode(params, img, cfg: VQModelConfig, *, key=None, deterministic=True,
 
 
 def decode(params, z, cfg: VQModelConfig, *, key=None, deterministic=True,
-           backend=None, remat=False):
+           backend=None, remat=False, dtype=None):
     """(reference vqmodel.py:27-30) → image in [-1, 1], NHWC."""
+    if dtype is not None:
+        z = z.astype(dtype)
     x = linear(params['post_quant'], z)
     x = decoder_apply(params['decoder'], x, cfg.dec, key=key,
                       deterministic=deterministic, backend=backend, remat=remat)
@@ -210,10 +212,11 @@ def forward(params, img, cfg: VQModelConfig, *, key=None, deterministic=True,
     return rec, loss
 
 
-def decode_from_indice(params, indices, cfg: VQModelConfig, *, backend=None):
+def decode_from_indice(params, indices, cfg: VQModelConfig, *, backend=None,
+                       dtype=None):
     """(reference vqmodel.py:38-41)."""
     z_q = vq.decode_from_indice(params['quantize'], indices)
-    return decode(params, z_q, cfg, backend=backend)
+    return decode(params, z_q, cfg, backend=backend, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -249,9 +252,12 @@ class VQModel:
         self.frozen = False
         cfg = self.config
         self._encode = jax.jit(functools.partial(encode, cfg=cfg))
-        self._decode = jax.jit(functools.partial(decode, cfg=cfg))
+        self._decode = jax.jit(functools.partial(decode, cfg=cfg,
+                                                 dtype=compute_dtype))
         self._forward = jax.jit(functools.partial(forward, cfg=cfg))
-        self._decode_ids = jax.jit(functools.partial(decode_from_indice, cfg=cfg))
+        self._decode_ids = jax.jit(functools.partial(decode_from_indice,
+                                                     cfg=cfg,
+                                                     dtype=compute_dtype))
 
     def _prep(self, img):
         img = _as_nhwc(img)

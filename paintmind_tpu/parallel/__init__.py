@@ -1,0 +1,3 @@
+from .mesh import (make_mesh, data_sharding, replicate_sharding,  # noqa: F401
+                   shard_batch, shard_params, pipeline_param_spec,
+                   vqgan_param_spec)

@@ -1,0 +1,121 @@
+"""Device mesh + sharding rules — the TPU-native substrate replacing the
+reference's HuggingFace ``accelerate``/DDP layer (trainer.py:85-90, 115-133).
+
+Design (SURVEY §2.2): the reference's entire distributed story is data
+parallelism; here DP is the default axis and gradient all-reduce emerges
+from sharded ``jit`` over the mesh (XLA SPMD psum over ICI).  As an
+extension, a ``model`` axis provides megatron-style tensor parallelism for
+the transformer stacks: attention/MLP input projections shard their output
+features, output projections shard their input features (one all-reduce per
+block, also XLA-inserted), the stage-2 logits layer shards its vocab dim.
+
+All rules are expressed as PartitionSpec trees matched to the param pytrees
+— no NCCL-style explicit collectives anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(devices=None, model_parallel=1, axis_names=(DATA_AXIS, MODEL_AXIS)):
+    """(data, model) mesh over all devices; model_parallel=1 → pure DP."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names)
+
+
+def data_sharding(mesh, ndim=None, spec=None):
+    if spec is None:
+        spec = P(DATA_AXIS) if ndim is None else P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicate_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Host batch → device array sharded along the data axis (leading dim)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter partition specs (tensor-parallel 'model' axis; everything is
+# replicated across 'data')
+# ---------------------------------------------------------------------------
+
+def _stack_block_spec(cross):
+    """Specs for one scanned transformer stack (leading depth axis).
+    in-proj kernels shard the output dim; out-proj kernels the input dim."""
+    def attn():
+        return {
+            'to_q': {'kernel': P(None, None, MODEL_AXIS)},
+            'to_k': {'kernel': P(None, None, MODEL_AXIS)},
+            'to_v': {'kernel': P(None, None, MODEL_AXIS)},
+            'to_out': {'kernel': P(None, MODEL_AXIS, None), 'bias': P(None, None)},
+        }
+    spec = {
+        'norm1': {'scale': P(None, None), 'bias': P(None, None)},
+        'attn1': attn(),
+        'norm2': {'scale': P(None, None), 'bias': P(None, None)},
+        'ffnet': {
+            'w12': {'kernel': P(None, None, MODEL_AXIS), 'bias': P(None, MODEL_AXIS)},
+            'w3': {'kernel': P(None, MODEL_AXIS, None), 'bias': P(None, None)},
+        },
+    }
+    if cross:
+        spec['attn2'] = attn()
+        spec['norm3'] = {'scale': P(None, None), 'bias': P(None, None)}
+    return spec
+
+
+def _replicated_like(tree):
+    return jax.tree_util.tree_map(lambda x: P(), tree)
+
+
+def vqgan_param_spec(params):
+    """PartitionSpec tree for VQModel params (models/vqmodel layout)."""
+    spec = _replicated_like(params)
+    spec['encoder']['layers'] = _stack_block_spec(cross=False)
+    spec['decoder']['layers'] = _stack_block_spec(cross=False)
+    return spec
+
+
+def cond_transformer_param_spec(params):
+    spec = _replicated_like(params)
+    spec['layers'] = _stack_block_spec(cross=True)
+    spec['to_logits'] = {'kernel': P(None, MODEL_AXIS), 'bias': P(MODEL_AXIS)}
+    return spec
+
+
+def pipeline_param_spec(params):
+    """PartitionSpec tree for Pipeline params (models/pipeline layout)."""
+    return {
+        'vqgan': vqgan_param_spec(params['vqgan']),
+        'transformer': cond_transformer_param_spec(params['transformer']),
+        'mask_token': P(),
+    }
+
+
+def shard_params(params, mesh, spec=None):
+    """Place params on the mesh.  spec=None → fully replicated (pure DP)."""
+    if spec is None:
+        spec = _replicated_like(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec)
+
+
+def named_sharding_tree(spec, mesh):
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), spec,
+                                  is_leaf=lambda s: isinstance(s, P))

@@ -1,0 +1,248 @@
+"""Jitted train steps: stage-1 adversarial VQGAN and stage-2 MaskGIT.
+
+Functional ports of the reference training loops (paintmind/utils/trainer.py):
+
+Stage-1 (trainer.py:171-259), per optimizer step:
+  D phase: rec = vqgan(img) (no grad), hinge-D loss on D(rec)/D(img) plus
+  WGAN-style gradient penalty on interpolates (double grad through D,
+  trainer.py:153-169, 193-194) → Adam update of D.
+  G phase (with the *updated* D, matching reference ordering): codebook loss
+  + L1+MSE recon + LPIPS perceptual + 0.1·non-saturating G loss
+  (trainer.py:210-218) → Adam update of the VQGAN.
+
+Stage-2 (trainer.py:377-398): masked-CE pipeline loss with arccos mask-ratio
+and batch-level CFG text dropout (handled host-side by the trainer, exactly
+like reference trainer.py:387-388) → Lion/AdamW update of transformer +
+mask_token only (vqgan and T5 are frozen).
+
+TPU-native mechanics: gradient accumulation is a ``lax.scan`` over
+microbatches inside the jitted step; bf16 compute with fp32 master params
+("autocast" equivalent: activations are cast, kernels follow activation
+dtype, norms/softmax/losses stay fp32); gradient all-reduce across the data
+axis is implicit in sharded jit.  Each step returns (new_state, metrics) with
+the reference's metric names.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import discriminator as disc
+from ..models import lpips as lpips_mod
+from ..models import pipeline as pl
+from ..models import vqmodel as vm
+
+
+def _cast(x, dtype):
+    return x if dtype is None else x.astype(dtype)
+
+
+def _tree_zeros_like(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _tree_scale(a, s):
+    return jax.tree_util.tree_map(lambda x: x * s, a)
+
+
+# ---------------------------------------------------------------------------
+# Stage-1: VQGAN adversarial step
+# ---------------------------------------------------------------------------
+
+def init_vqgan_train_state(key, vq_params, g_tx, d_tx,
+                           dcfg=disc.DiscriminatorConfig()):
+    k_d, k_s = jax.random.split(key)
+    d_params, d_stats = disc.init_discriminator(k_d, dcfg)
+    return {
+        'step': jnp.zeros((), jnp.int32),
+        'g_params': vq_params,
+        'g_opt': g_tx.init(vq_params),
+        'd_params': d_params,
+        'd_stats': d_stats,
+        'd_opt': d_tx.init(d_params),
+        'key': k_s,
+    }
+
+
+def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
+                          dcfg=disc.DiscriminatorConfig(), lpips_params=None,
+                          d_weight=0.1, grad_accum=1, compute_dtype=None,
+                          backend=None, remat=False):
+    """Returns jittable ``step(state, imgs) -> (state, metrics)``;
+    imgs: (grad_accum · micro, H, W, C) fp32 in [-1, 1]."""
+
+    def forward_rec(g_params, img):
+        rec, cb_loss = vm.forward(g_params, _cast(img, compute_dtype), cfg,
+                                  backend=backend, remat=remat)
+        return rec.astype(jnp.float32), cb_loss
+
+    def d_loss_fn(d_params, d_stats, img, rec, key):
+        fake, d_stats = disc.discriminator_apply(d_params, d_stats, rec,
+                                                 train=True, cfg=dcfg)
+        real, d_stats = disc.discriminator_apply(d_params, d_stats, img,
+                                                 train=True, cfg=dcfg)
+        gp, d_stats = disc.gradient_penalty(d_params, d_stats, img, rec, key,
+                                            cfg=dcfg)
+        loss = disc.hinge_d_loss(fake, real) + gp
+        return loss, d_stats
+
+    def g_loss_fn(g_params, d_params, d_stats, img):
+        rec, cb_loss = forward_rec(g_params, img)
+        rec_loss = (jnp.mean(jnp.abs(rec - img))
+                    + jnp.mean(jnp.square(rec - img)))
+        if lpips_params is not None:
+            per_loss = jnp.mean(lpips_mod.lpips(lpips_params, rec, img))
+        else:
+            per_loss = jnp.asarray(0.0)
+        fake, d_stats = disc.discriminator_apply(d_params, d_stats, rec,
+                                                 train=True, cfg=dcfg)
+        g_loss = disc.g_nonsaturating_loss(fake)
+        total = cb_loss + rec_loss + per_loss + d_weight * g_loss
+        metrics = {'rec loss': rec_loss, 'per loss': per_loss,
+                   'g loss': g_loss, 'codebook loss': cb_loss}
+        return total, (d_stats, metrics)
+
+    def step(state, imgs):
+        b = imgs.shape[0]
+        micro = b // grad_accum
+        imgs = imgs.reshape(grad_accum, micro, *imgs.shape[1:])
+        key, k_step = jax.random.split(state['key'])
+        gp_keys = jax.random.split(k_step, grad_accum)
+
+        # ---- D phase over microbatches -------------------------------
+        def d_micro(carry, xs):
+            grads_acc, d_stats, loss_acc = carry
+            img, k = xs
+            rec, _ = forward_rec(state['g_params'], img)
+            rec = jax.lax.stop_gradient(rec)
+            (loss, d_stats), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state['d_params'], d_stats, img,
+                                         rec, k)
+            return (_tree_add(grads_acc, grads), d_stats,
+                    loss_acc + loss), None
+
+        (d_grads, d_stats, d_loss_sum), _ = jax.lax.scan(
+            d_micro,
+            (_tree_zeros_like(state['d_params']), state['d_stats'],
+             jnp.asarray(0.0)),
+            (imgs, gp_keys))
+        d_grads = _tree_scale(d_grads, 1.0 / grad_accum)
+        d_updates, d_opt = d_tx.update(d_grads, state['d_opt'],
+                                       state['d_params'])
+        d_params = optax.apply_updates(state['d_params'], d_updates)
+
+        # ---- G phase (updated D, reference ordering) -----------------
+        def g_micro(carry, img):
+            grads_acc, d_stats_c, metrics_acc = carry
+            (loss, (d_stats_c, metrics)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state['g_params'], d_params,
+                                         d_stats_c, img)
+            metrics = {**metrics, 'loss': loss}
+            metrics_acc = _tree_add(metrics_acc, metrics)
+            return (_tree_add(grads_acc, grads), d_stats_c, metrics_acc), None
+
+        zero_metrics = {'rec loss': 0.0, 'per loss': 0.0, 'g loss': 0.0,
+                        'codebook loss': 0.0, 'loss': 0.0}
+        zero_metrics = jax.tree_util.tree_map(jnp.asarray, zero_metrics)
+        (g_grads, d_stats, g_metrics), _ = jax.lax.scan(
+            g_micro, (_tree_zeros_like(state['g_params']), d_stats,
+                      zero_metrics), imgs)
+        g_grads = _tree_scale(g_grads, 1.0 / grad_accum)
+        g_updates, g_opt = g_tx.update(g_grads, state['g_opt'],
+                                       state['g_params'])
+        g_params = optax.apply_updates(state['g_params'], g_updates)
+
+        metrics = _tree_scale(g_metrics, 1.0 / grad_accum)
+        metrics['d loss'] = d_loss_sum / grad_accum
+        new_state = {'step': state['step'] + 1, 'g_params': g_params,
+                     'g_opt': g_opt, 'd_params': d_params,
+                     'd_stats': d_stats, 'd_opt': d_opt, 'key': key}
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage-2: MaskGIT pipeline step
+# ---------------------------------------------------------------------------
+
+def _trainable_mask(params):
+    """Only transformer + mask_token train (vqgan frozen, reference
+    generate.py:56; T5 lives outside the param tree entirely)."""
+    return {
+        'vqgan': jax.tree_util.tree_map(lambda _: False, params['vqgan']),
+        'transformer': jax.tree_util.tree_map(lambda _: True,
+                                              params['transformer']),
+        'mask_token': True,
+    }
+
+
+def masked_tx(tx, params):
+    """Apply updates only to trainable leaves (optax.masked)."""
+    return optax.masked(tx, _trainable_mask(params))
+
+
+def init_pipeline_train_state(key, params, tx):
+    return {
+        'step': jnp.zeros((), jnp.int32),
+        'params': params,
+        'opt': tx.init(params),
+        'key': key,
+    }
+
+
+def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
+                             compute_dtype=None, backend=None, remat=False):
+    """Returns jittable ``step(state, imgs, context, mask_ratio)``.
+    ``context`` is (B, M, t5_dim) or None — the trainer picks None for the
+    whole batch with p=0.1 (CFG dropout, reference trainer.py:387-388);
+    ``mask_ratio`` is the per-batch arccos draw (trainer.py:286-288)."""
+
+    def loss_fn(params, img, context, mask_ratio, key):
+        return pl.pipeline_loss(params, _cast(img, compute_dtype),
+                                _cast(context, compute_dtype) if context is
+                                not None else None,
+                                mask_ratio, key, cfg=cfg,
+                                deterministic=False, backend=backend,
+                                remat=remat)
+
+    def step(state, imgs, context, mask_ratio):
+        b = imgs.shape[0]
+        micro = b // grad_accum
+        imgs = imgs.reshape(grad_accum, micro, *imgs.shape[1:])
+        if context is not None:
+            context = context.reshape(grad_accum, micro, *context.shape[1:])
+        key, k_step = jax.random.split(state['key'])
+        keys = jax.random.split(k_step, grad_accum)
+
+        def micro_step(carry, xs):
+            grads_acc, loss_acc = carry
+            if context is None:
+                img, k = xs
+                ctx = None
+            else:
+                img, ctx, k = xs
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state['params'], img, ctx, mask_ratio, k)
+            return (_tree_add(grads_acc, grads), loss_acc + loss), None
+
+        xs = (imgs, keys) if context is None else (imgs, context, keys)
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro_step, (_tree_zeros_like(state['params']),
+                         jnp.asarray(0.0)), xs)
+        grads = _tree_scale(grads, 1.0 / grad_accum)
+        updates, opt = tx.update(grads, state['opt'], state['params'])
+        params = optax.apply_updates(state['params'], updates)
+        new_state = {'step': state['step'] + 1, 'params': params,
+                     'opt': opt, 'key': key}
+        return new_state, {'loss': loss_sum / grad_accum}
+
+    return step

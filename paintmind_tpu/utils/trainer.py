@@ -1,0 +1,365 @@
+"""Training harnesses: VQGANTrainer (stage 1) and PaintMindTrainer (stage 2).
+
+API-parity ports of the reference trainers (paintmind/utils/trainer.py:61-283
+and :291-437) on a TPU-native substrate:
+
+  reference                         →  here
+  ─────────────────────────────────────────────────────────────────────
+  HF Accelerator DDP/NCCL           →  jax.sharding data-parallel mesh;
+                                       grad psum implicit in sharded jit
+  autocast bf16/fp16                →  bf16 activations + fp32 master params
+  accumulate() context              →  lax.scan microbatching inside the step
+  clip_grad_norm_ at sync           →  optax.clip_by_global_norm in the tx
+  timm CosineLRScheduler            →  optim.build_scheduler (same piecewise)
+  torch Adam/AdamW/Lion             →  optax via optim builders
+  state_dict .pt snapshots          →  orbax full train state (params + BOTH
+                                       optimizer states + step + PRNG key —
+                                       true resume, which the reference
+                                       loses: trainer.py:261-264) plus .npz
+                                       model-only exports for from_pretrained
+  tensorboard via accelerator.log   →  MetricWriter (same metric names)
+  make_grid eval dumps              →  utils.image_grid (nrow=6, (-1,1))
+
+Single-host multi-device by default; ``jax.distributed.initialize()``
+extends the same SPMD program to multi-host pods.
+"""
+
+from __future__ import annotations
+
+import os
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import optim
+from ..models import discriminator as disc_mod
+from ..models import lpips as lpips_mod
+from ..parallel import make_mesh, replicate_sharding, shard_batch
+from ..train import steps as train_steps
+from .data import DataLoader, random_split
+from .image_grid import save_image_grid
+from .logging import Log, MetricWriter
+
+
+def _dtype_of(mixed_precision):
+    if mixed_precision in ('bf16', 'fp16'):  # fp16→bf16: TPU-native, no loss scaling
+        return jnp.bfloat16
+    return None
+
+
+def masked_p_generator():
+    """arccos-distributed mask ratio (reference trainer.py:286-288)."""
+    return float(np.cos(0.5 * np.pi * np.random.rand()))
+
+
+def _first_images(batch):
+    imgs = batch[0] if isinstance(batch, (tuple, list)) else batch
+    return np.asarray(imgs, np.float32)
+
+
+class _TrainerBase:
+    def _setup_dirs(self, result_folder):
+        self.result_folder = result_folder or './results'
+        self.model_saved_dir = os.path.join(self.result_folder, 'models')
+        self.image_saved_dir = os.path.join(self.result_folder, 'images')
+        os.makedirs(self.model_saved_dir, exist_ok=True)
+        os.makedirs(self.image_saved_dir, exist_ok=True)
+
+    def _save_state(self, name):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.model_saved_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, self.state),
+                   force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def _restore_state(self, path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.tree_util.tree_map(np.asarray, self.state)
+        restored = ckptr.restore(os.path.abspath(path), template)
+        self.state = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, restored),
+            replicate_sharding(self.mesh))
+        return self
+
+
+class VQGANTrainer(_TrainerBase):
+    """(reference trainer.py:61-283)."""
+
+    def __init__(self, vqvae, dataset, num_epoch, valid_size=32, lr=1e-4,
+                 lr_min=5e-5, warmup_steps=50000, warmup_lr_init=1e-6,
+                 decay_steps=None, batch_size=32, num_workers=8,
+                 pin_memory=False, max_grad_norm=1.0, grad_accum_steps=1,
+                 mixed_precision='bf16', save_every=10000, sample_every=1000,
+                 result_folder=None, log_dir='./log', seed=42, mesh=None,
+                 perceptual_weights='auto', d_weight=0.1, log_every=1):
+        del pin_memory  # host staging handled by shard_batch
+        self.vqvae = vqvae
+        self.mesh = mesh or make_mesh()
+        self.num_epoch = num_epoch
+        self.save_every = save_every
+        self.samp_every = sample_every
+        self.grad_accum = grad_accum_steps
+        self.log_dir = log_dir
+        self.log_every = log_every
+        self._setup_dirs(result_folder)
+
+        train_size = len(dataset) - valid_size
+        self.train_ds, self.valid_ds = random_split(
+            dataset, [train_size, valid_size], seed=seed)
+        print(f'train dataset size: {train_size}, valid dataset size: {valid_size}')
+        self.train_dl = DataLoader(self.train_ds, batch_size, shuffle=True,
+                                   seed=seed, num_workers=num_workers)
+        self.valid_dl = DataLoader(self.valid_ds, min(batch_size, valid_size),
+                                   shuffle=False, num_workers=num_workers)
+
+        iters = max(len(self.train_dl), 1)
+        self.g_sched = optim.lr_scheduler.build_scheduler(
+            num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
+            decay_steps)
+        self.d_sched = optim.lr_scheduler.build_scheduler(
+            num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
+            decay_steps)
+        g_tx = optim.adam(self.g_sched, (0.9, 0.99), max_grad_norm)
+        d_tx = optim.adam(self.d_sched, (0.9, 0.99), max_grad_norm)
+
+        self.lpips_params = self._load_perceptual(perceptual_weights)
+
+        self.dcfg = disc_mod.DiscriminatorConfig(input_nc=3, ndf=64, n_layers=3)
+        step_fn = train_steps.make_vqgan_train_step(
+            vqvae.config, g_tx, d_tx, dcfg=self.dcfg,
+            lpips_params=self.lpips_params, d_weight=d_weight,
+            grad_accum=grad_accum_steps,
+            compute_dtype=_dtype_of(mixed_precision))
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+        key = jax.random.PRNGKey(seed)
+        self.state = jax.device_put(
+            train_steps.init_vqgan_train_state(key, vqvae.params, g_tx, d_tx,
+                                               self.dcfg),
+            replicate_sharding(self.mesh))
+        self.steps = 0
+
+        n_params = vqvae.num_params + sum(
+            x.size for x in jax.tree_util.tree_leaves(self.state['d_params']))
+        print(f'number of learnable parameters: {n_params // int(1e6)}M')
+
+    def _load_perceptual(self, spec):
+        if spec in (None, 'none'):
+            return None
+        default = os.path.join(os.path.dirname(__file__), '..', 'assets',
+                               'lpips_vgg.npz')
+        if spec == 'auto':
+            if os.path.exists(default):
+                return lpips_mod.load_lpips(default)
+            print('WARNING: no pretrained LPIPS weights found '
+                  f'({default}); using a random-VGG perceptual loss. '
+                  'Convert once with models.lpips.convert_lpips for parity.')
+            return lpips_mod.init_lpips(jax.random.PRNGKey(0))
+        if isinstance(spec, str):
+            return lpips_mod.load_lpips(spec)
+        return spec  # already a param tree
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        self.log = Log()
+        writer = MetricWriter(self.log_dir, 'vqgan')
+        for epoch in range(self.num_epoch):
+            for batch in self.train_dl:
+                imgs = _first_images(batch)
+                imgs = shard_batch(imgs, self.mesh)
+                self.state, metrics = self._step(self.state, imgs)
+                self.steps += 1
+
+                if self.steps % self.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m['g lr'] = float(self.g_sched(self.steps))
+                    m['d lr'] = float(self.d_sched(self.steps))
+                    self.log.update(m)
+                    writer.log({
+                        'reconstruct loss': m['rec loss'],
+                        'perceptual loss': m['per loss'],
+                        'g_loss': m['g loss'],
+                        'd_loss': m['d loss'],
+                        'g_lr': m['g lr'],
+                        'd_lr': m['d lr'],
+                    }, self.steps)
+
+                if not (self.steps % self.save_every):
+                    self.save()
+                if not (self.steps % self.samp_every):
+                    self.evaluate()
+        writer.close()
+        self._sync_model()
+        print('Train finished!')
+
+    def _sync_model(self):
+        self.vqvae.params = self.state['g_params']
+
+    def save(self):
+        """Full train state (orbax) + model-only npz
+        (reference saves model state_dict only, trainer.py:261-264)."""
+        self._sync_model()
+        self.vqvae.save_pretrained(
+            os.path.join(self.model_saved_dir, f'vit_vq_step_{self.steps}.npz'))
+        return self._save_state(f'vit_vq_state_{self.steps}')
+
+    def resume(self, path):
+        self._restore_state(path)
+        self.steps = int(self.state['step'])
+        self._sync_model()
+        return self
+
+    def evaluate(self):
+        self._sync_model()
+        for i, batch in enumerate(self.valid_dl):
+            imgs = _first_images(batch)
+            rec, _ = self.vqvae(imgs)
+            rec = np.asarray(rec, np.float32)
+            pairs = np.stack([imgs, rec], axis=1).reshape(-1, *imgs.shape[1:])
+            save_image_grid(pairs, os.path.join(
+                self.image_saved_dir, f'step_{self.steps}_{i}.png'))
+
+
+class PaintMindTrainer(_TrainerBase):
+    """(reference trainer.py:291-437)."""
+
+    def __init__(self, model, dataset, num_epoch, valid_size=10,
+                 optim_name=None, lr=6e-5, lr_min=1e-5, warmup_steps=5000,
+                 warmup_lr_init=1e-6, decay_steps=80000, weight_decay=0.05,
+                 batch_size=32, num_workers=8, pin_memory=False,
+                 grad_accum_steps=1, mixed_precision='bf16',
+                 max_grad_norm=1.0, save_every=10000, sample_every=1000,
+                 result_folder=None, log_dir='./log', seed=42, mesh=None,
+                 cfg_p=0.1, log_every=1, text_embedder=None, **kwargs):
+        # reference kwarg is `optim`; shadowed by our optim module import
+        optim_name = optim_name or kwargs.pop('optim', 'lion')
+        del pin_memory
+        self.model = model
+        self.mesh = mesh or make_mesh()
+        self.num_epoch = num_epoch
+        self.save_every = save_every
+        self.sample_every = sample_every
+        self.cfg_p = cfg_p
+        self.log_dir = log_dir
+        self.log_every = log_every
+        self._setup_dirs(result_folder)
+        self._text_embedder = text_embedder
+
+        train_size = len(dataset) - valid_size
+        self.train_ds, self.valid_ds = random_split(
+            dataset, [train_size, valid_size], seed=seed)
+        self.train_dl = DataLoader(self.train_ds, batch_size, shuffle=True,
+                                   seed=seed, num_workers=num_workers)
+        self.valid_dl = DataLoader(self.valid_ds, 6, shuffle=False,
+                                   num_workers=num_workers)
+
+        iters = max(len(self.train_dl), 1)
+        self.scheduler = optim.lr_scheduler.build_scheduler(
+            num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
+            decay_steps)
+        if optim_name == 'lion':
+            tx = optim.lion(self.scheduler, (0.9, 0.99),
+                            weight_decay=weight_decay,
+                            max_grad_norm=max_grad_norm)
+        elif optim_name == 'adamw':
+            tx = optim.adamw(self.scheduler, (0.9, 0.96),
+                             weight_decay=weight_decay,
+                             max_grad_norm=max_grad_norm)
+        else:
+            raise NotImplementedError(optim_name)
+        tx = train_steps.masked_tx(tx, model.params)
+
+        step_fn = train_steps.make_pipeline_train_step(
+            model.config, tx, grad_accum=grad_accum_steps,
+            compute_dtype=_dtype_of(mixed_precision))
+        self._step = jax.jit(step_fn, donate_argnums=(0,),
+                             static_argnames=())
+
+        key = jax.random.PRNGKey(seed)
+        self.state = jax.device_put(
+            train_steps.init_pipeline_train_state(key, model.params, tx),
+            replicate_sharding(self.mesh))
+        self.steps = 0
+
+        n_train = sum(x.size for x in jax.tree_util.tree_leaves(
+            model.params['transformer'])) + model.params['mask_token'].size
+        print(f'number of learnable parameters: {n_train // int(1e6)}M')
+        print(f'train dataset size: {train_size}, valid dataset size: {valid_size}')
+
+    def _embed(self, text):
+        """captions → (B, 77, t5_dim) embeddings (frozen tower, host call)."""
+        if text is None:
+            return None
+        if isinstance(text, np.ndarray) and text.ndim == 3:
+            return jnp.asarray(text)
+        if self._text_embedder is not None:
+            return jnp.asarray(self._text_embedder(text))
+        return self.model.embed_text(list(text))
+
+    def train(self):
+        self.log = Log()
+        writer = MetricWriter(self.log_dir, 'paintmind')
+        for epoch in range(self.num_epoch):
+            for batch in self.train_dl:
+                imgs, text = batch if isinstance(batch, (tuple, list)) else (batch, None)
+                if pyrandom.random() < self.cfg_p:  # CFG dropout (ref :387-388)
+                    text = None
+                context = self._embed(text)
+                imgs = shard_batch(np.asarray(imgs, np.float32), self.mesh)
+                if context is not None:
+                    context = shard_batch(np.asarray(context, np.float32),
+                                          self.mesh)
+                mask_ratio = jnp.asarray(masked_p_generator(), jnp.float32)
+                self.state, metrics = self._step(self.state, imgs, context,
+                                                 mask_ratio)
+                self.steps += 1
+
+                if self.steps % self.log_every == 0:
+                    m = {'loss': float(metrics['loss']),
+                         'lr': float(self.scheduler(self.steps))}
+                    self.log.update(m)
+                    writer.log(m, self.steps)
+
+                if not (self.steps % self.sample_every):
+                    self.evaluate()
+                if not (self.steps % self.save_every):
+                    self.save()
+        writer.close()
+        self._sync_model()
+        print('Train finished!')
+
+    def _sync_model(self):
+        self.model.params = self.state['params']
+        self.model.vqgan.params = self.model.params['vqgan']
+
+    def save(self):
+        self._sync_model()
+        self.model.save_pretrained(os.path.join(
+            self.model_saved_dir, f'paintmind_step_{self.steps}.npz'))
+        return self._save_state(f'paintmind_state_{self.steps}')
+
+    def resume(self, path):
+        self._restore_state(path)
+        self.steps = int(self.state['step'])
+        self._sync_model()
+        return self
+
+    def evaluate(self):
+        self._sync_model()
+        for i, batch in enumerate(self.valid_dl):
+            imgs, text = batch if isinstance(batch, (tuple, list)) else (batch, None)
+            context = self._embed(text)
+            gens = self.model.generate(text=context, timesteps=18,
+                                       temperature=1.0, topk=5,
+                                       save_interval=2)
+            all_imgs = np.concatenate(
+                [np.asarray(imgs, np.float32)]
+                + [np.asarray(g, np.float32) for g in gens], axis=0)
+            save_image_grid(all_imgs, os.path.join(
+                self.image_saved_dir, f'step_{self.steps}_{i}.png'))

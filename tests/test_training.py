@@ -1,0 +1,221 @@
+"""Training-stack tests: discriminator parity, GAN losses, LR schedule,
+data loader, and small end-to-end trainer runs (both stages) on the 8-device
+CPU mesh."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import paintmind_tpu.config as pmc  # noqa: E402
+from paintmind_tpu.models import discriminator as dm  # noqa: E402
+from paintmind_tpu.optim.lr_scheduler import build_schedule  # noqa: E402
+from paintmind_tpu.utils.data import DataLoader, random_split  # noqa: E402
+from reference_oracle import ref_module  # noqa: E402
+
+
+def _mae(a, b):
+    return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+DCFG = dm.DiscriminatorConfig(input_nc=3, ndf=16, n_layers=2)
+
+
+@pytest.fixture(scope='module')
+def torch_disc():
+    dref = ref_module('stage1.discriminator')
+    torch.manual_seed(0)
+    return dref.NLayerDiscriminator(input_nc=3, ndf=16, n_layers=2)
+
+
+def test_discriminator_parity_eval(torch_disc, rng):
+    params, stats = dm.convert_discriminator(torch_disc.state_dict(), DCFG)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    torch_disc.eval()
+    with torch.no_grad():
+        ref = torch_disc(torch.tensor(x)).numpy()
+    out, _ = dm.discriminator_apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jax.tree_util.tree_map(jnp.asarray, stats),
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False, cfg=DCFG)
+    assert out.shape[-1] == 1
+    assert _mae(np.asarray(out)[..., 0], ref[:, 0]) < 1e-5
+
+
+def test_discriminator_parity_train_mode(torch_disc, rng):
+    params, stats = dm.convert_discriminator(torch_disc.state_dict(), DCFG)
+    x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    torch_disc.train()
+    ref = torch_disc(torch.tensor(x)).detach().numpy()
+    out, new_stats = dm.discriminator_apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jax.tree_util.tree_map(jnp.asarray, stats),
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=True, cfg=DCFG)
+    assert _mae(np.asarray(out)[..., 0], ref[:, 0]) < 1e-5
+    # running stats moved toward batch stats (momentum 0.1, like torch)
+    ref_mean = torch_disc.model[3].running_mean.numpy()
+    ours_mean = np.asarray(new_stats[1]['bn']['mean'])
+    assert _mae(ours_mean, ref_mean) < 1e-5
+
+
+def test_gan_losses_parity(rng):
+    fake = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    real = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    tf, tr = torch.tensor(fake), torch.tensor(real)
+    ref_d = 0.5 * (torch.relu(1 - tr).mean() + torch.relu(1 + tf).mean())
+    ref_g = torch.nn.functional.softplus(-tf).mean()
+    assert abs(float(dm.hinge_d_loss(jnp.asarray(fake), jnp.asarray(real)))
+               - float(ref_d)) < 1e-6
+    assert abs(float(dm.g_nonsaturating_loss(jnp.asarray(fake)))
+               - float(ref_g)) < 1e-6
+
+
+def test_gradient_penalty_runs(torch_disc, rng):
+    params, stats = dm.convert_discriminator(torch_disc.state_dict(), DCFG)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    real = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    fake = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    gp, _ = dm.gradient_penalty(params, stats, real, fake,
+                                jax.random.PRNGKey(0), cfg=DCFG)
+    assert np.isfinite(float(gp)) and float(gp) >= 0
+    # double-grad works: d(gp)/d(params) is finite
+    g = jax.grad(lambda p: dm.gradient_penalty(p, stats, real, fake,
+                                               jax.random.PRNGKey(0),
+                                               cfg=DCFG)[0])(params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_lr_schedule_piecewise():
+    sched = build_schedule(lr=1e-4, lr_min=5e-5, warmup_steps=100,
+                           warmup_lr_init=1e-6, decay_steps=1000)
+    assert abs(float(sched(0)) - 1e-6) < 1e-12
+    assert abs(float(sched(50)) - (1e-6 + 50 * (1e-4 - 1e-6) / 100)) < 1e-10
+    assert abs(float(sched(100)) - 1e-4) < 1e-9      # warmup_prefix: cos starts
+    mid = float(sched(100 + 500))
+    assert abs(mid - (5e-5 + 0.5 * (1e-4 - 5e-5))) < 1e-9
+    assert abs(float(sched(100 + 1000)) - 5e-5) < 1e-9
+    assert abs(float(sched(5000)) - 5e-5) < 1e-9     # floor after decay
+
+
+class _SynthDataset:
+    def __init__(self, n=32, size=32, with_caption=False):
+        self.n, self.size, self.with_caption = n, size, with_caption
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        img = rng.uniform(-1, 1, (self.size, self.size, 3)).astype(np.float32)
+        if self.with_caption:
+            return img, f'caption {i}'
+        return img
+
+
+def test_dataloader_and_split():
+    ds = _SynthDataset(20, with_caption=True)
+    tr, va = random_split(ds, [16, 4], seed=1)
+    assert len(tr) == 16 and len(va) == 4
+    dl = DataLoader(tr, batch_size=8, shuffle=True, seed=0, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    imgs, caps = batches[0]
+    assert imgs.shape == (8, 32, 32, 3) and len(caps) == 8
+    assert isinstance(caps[0], str)
+    # epochs reshuffle
+    b2 = list(dl)
+    assert not np.array_equal(batches[0][0], b2[0][0])
+
+
+SMALL_VQ = {
+    'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
+    'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'in_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+    'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'out_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+}
+pmc.register_version('test-vqgan-tr', SMALL_VQ)
+
+
+def test_vqgan_trainer_end_to_end(tmp_path):
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+
+    model = VQModel(SMALL_VQ, seed=0)
+    ds = _SynthDataset(48, 32)
+    trainer = VQGANTrainer(
+        model, ds, num_epoch=1, valid_size=8, lr=1e-3, lr_min=1e-4,
+        warmup_steps=2, warmup_lr_init=1e-6, batch_size=16, num_workers=2,
+        grad_accum_steps=2, mixed_precision='no', save_every=2,
+        sample_every=2, result_folder=str(tmp_path), log_dir=str(tmp_path / 'log'),
+        perceptual_weights='none')
+    p0 = jax.tree_util.tree_map(np.asarray, model.params)
+    trainer.train()
+    assert trainer.steps == 2  # 40//16 = 2 batches (drop_last)
+    # params changed; metrics logged; grids + checkpoints written
+    changed = any(not np.array_equal(a, np.asarray(b))
+                  for a, b in zip(jax.tree_util.tree_leaves(p0),
+                                  jax.tree_util.tree_leaves(model.params)))
+    assert changed
+    import os
+    assert any(f.startswith('vit_vq_step_') for f in
+               os.listdir(tmp_path / 'models'))
+    assert any(f.endswith('.png') for f in os.listdir(tmp_path / 'images'))
+    assert np.isfinite(trainer.log['rec loss'])
+
+    # resume path restores step + params
+    ckpt = trainer.save()
+    trainer2 = VQGANTrainer(
+        VQModel(SMALL_VQ, seed=5), ds, num_epoch=1, valid_size=8,
+        batch_size=16, num_workers=2, mixed_precision='no',
+        result_folder=str(tmp_path / 'r2'), log_dir=str(tmp_path / 'log2'),
+        perceptual_weights='none')
+    trainer2.resume(ckpt)
+    assert trainer2.steps == trainer.steps
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state['g_params']),
+                    jax.tree_util.tree_leaves(trainer2.state['g_params'])):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_paintmind_trainer_end_to_end(tmp_path):
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=2,
+                         dropout=0.1, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48)
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None)
+    ds = _SynthDataset(44, 32, with_caption=True)
+
+    def fake_embedder(captions):
+        return np.stack([np.random.default_rng(len(c)).standard_normal(
+            (5, 48)).astype(np.float32) for c in captions])
+
+    trainer = PaintMindTrainer(
+        pipe, ds, num_epoch=2, valid_size=4, optim_name='lion', lr=1e-3,
+        warmup_steps=1, decay_steps=10, batch_size=8, num_workers=2,
+        grad_accum_steps=2, mixed_precision='no', save_every=100,
+        sample_every=100, result_folder=str(tmp_path),
+        log_dir=str(tmp_path / 'log'), text_embedder=fake_embedder)
+    vq0 = jax.tree_util.tree_map(np.asarray, pipe.params['vqgan'])
+    tr0 = jax.tree_util.tree_map(np.asarray, pipe.params['transformer'])
+    trainer.train()
+    assert trainer.steps == 10  # 2 epochs × (40//8)
+    # transformer trained, vqgan untouched (frozen)
+    tr_changed = any(not np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree_util.tree_leaves(tr0),
+        jax.tree_util.tree_leaves(pipe.params['transformer'])))
+    vq_same = all(np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree_util.tree_leaves(vq0),
+        jax.tree_util.tree_leaves(pipe.params['vqgan'])))
+    assert tr_changed and vq_same
+    assert np.isfinite(trainer.log['loss'])
