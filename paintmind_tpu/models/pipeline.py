@@ -206,25 +206,37 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
 
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
                 cfg: PipelineConfig, guidance_scale=None, backend=None,
-                dtype=None):
+                dtype=None, sampler='auto'):
     """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
     Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
     the re-mask uses a full static sort + rank threshold so the whole loop
-    compiles into one scan."""
+    compiles into one scan.
+
+    sampler: 'exact' = reference math via XLA ops (top_k sort + softmax +
+    gumbel argmax — several HBM passes over the (B·L, 8192) logits);
+    'fused' = single-pass Pallas sampling-head kernel (ops/sampling);
+    'auto' = fused on TPU."""
     b, l = ids.shape
     tokens = ids_to_tokens(params, ids, cfg)
     logits = _transformer_logits(params, tokens, context, guidance_scale,
                                  cfg=cfg, backend=backend, dtype=dtype)
-    filtered = _topk_filter(logits, topk)
-    temp = jnp.maximum(temperature, 1e-10)
-    pred_ids = jnp.argmax(filtered / temp + _gumbel(key, filtered.shape),
-                          axis=-1).astype(ids.dtype)
-
+    if sampler == 'auto':
+        sampler = 'fused' if jax.default_backend() == 'tpu' else 'exact'
     is_mask = ids == cfg.mask_token_id
-    ids_filled = jnp.where(is_mask, pred_ids, ids)
+    if sampler == 'fused':
+        from ..ops.sampling import fused_gumbel_topk_sample
+        pred_ids, conf = fused_gumbel_topk_sample(logits, key, temperature,
+                                                  k=topk)
+        pred_ids = pred_ids.astype(ids.dtype)
+    else:
+        filtered = _topk_filter(logits, topk)
+        temp = jnp.maximum(temperature, 1e-10)
+        pred_ids = jnp.argmax(filtered / temp + _gumbel(key, filtered.shape),
+                              axis=-1).astype(ids.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        conf = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
 
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    conf = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
+    ids_filled = jnp.where(is_mask, pred_ids, ids)
     scores = jnp.where(is_mask, 1.0 - conf, -1e5)  # (generate.py:170-173)
 
     # re-mask the n_masked lowest-confidence masked positions
@@ -247,10 +259,10 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
                                              'guidance_scale', 'backend',
-                                             'dtype'))
+                                             'dtype', 'sampler'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
-                 backend=None, dtype=None):
+                 backend=None, dtype=None, sampler='auto'):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L))."""
     n_masked, temps = _schedule_arrays(timesteps, temperature, cfg.num_tokens)
@@ -261,7 +273,8 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
         ids_next, pred = sample_step(
             params, ids, step_key, context=context, n_masked=n_m,
             temperature=temp, topk=topk, cfg=cfg,
-            guidance_scale=guidance_scale, backend=backend, dtype=dtype)
+            guidance_scale=guidance_scale, backend=backend, dtype=dtype,
+            sampler=sampler)
         return ids_next, pred
 
     final_ids, preds = jax.lax.scan(body, init_ids, (keys, n_masked, temps))

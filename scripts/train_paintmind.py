@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Stage-2 MaskGIT training CLI (README recipe defaults:
+reference README.md:168-191 — adamw/lion, lr 1e-4→1e-5, warmup 10k,
+wd 0.05, decay 80k, batch 16, accum 8, bf16)."""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--dataset', required=True,
+                   help='coco:<root> | imagenet:<root> | diffusiondb:<ver>')
+    p.add_argument('--version', default='paintmindv1')
+    p.add_argument('--stage1-checkpoint', default=None)
+    p.add_argument('--epochs', type=int, default=40)
+    p.add_argument('--optim', default='lion', choices=['lion', 'adamw'])
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--grad-accum', type=int, default=8)
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--lr-min', type=float, default=1e-5)
+    p.add_argument('--warmup-steps', type=int, default=10000)
+    p.add_argument('--decay-steps', type=int, default=80000)
+    p.add_argument('--weight-decay', type=float, default=0.05)
+    p.add_argument('--mixed-precision', default='bf16')
+    p.add_argument('--result-folder', default='./results/paintmind')
+    p.add_argument('--log-dir', default='./log')
+    p.add_argument('--save-every', type=int, default=10000)
+    p.add_argument('--sample-every', type=int, default=1000)
+    p.add_argument('--resume', default=None)
+    p.add_argument('--num-workers', type=int, default=8)
+    args = p.parse_args()
+
+    import paintmind_tpu as pm
+    from paintmind_tpu.utils.transform import stage2_transform
+
+    transform = stage2_transform(is_train=True)
+    kind, _, root = args.dataset.partition(':')
+    if kind == 'coco':
+        from paintmind_tpu.utils.datasets import CoCo
+        dataset = CoCo(root, transform=transform)
+    elif kind == 'imagenet':
+        from paintmind_tpu.utils.datasets import ImageNet
+        dataset = ImageNet(root, transform=transform)
+    elif kind == 'diffusiondb':
+        from paintmind_tpu.utils.datasets import DiffusionDB
+        dataset = DiffusionDB(root or 'large_random_100k',
+                              transform=transform)
+    else:
+        raise SystemExit(f'unknown dataset spec {args.dataset!r}')
+
+    model = pm.create_pipeline_for_train(
+        version=args.version, stage1_pretrained=args.stage1_checkpoint is not None,
+        stage1_checkpoint_path=args.stage1_checkpoint)
+    trainer = pm.PaintMindTrainer(
+        model, dataset, num_epoch=args.epochs, optim_name=args.optim,
+        lr=args.lr, lr_min=args.lr_min, warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps, weight_decay=args.weight_decay,
+        batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
+        mixed_precision=args.mixed_precision, save_every=args.save_every,
+        sample_every=args.sample_every, result_folder=args.result_folder,
+        log_dir=args.log_dir, num_workers=args.num_workers)
+    if args.resume:
+        trainer.resume(args.resume)
+    trainer.train()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Stage-1 ViT-VQGAN training CLI (README recipe defaults:
+reference README.md:81-101 — lr 1e-4→5e-5, warmup 50k from 1e-6, decay 100k,
+batch 16, accum 8, bf16, clip 1.0)."""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--dataset', required=True,
+                   help='imagenet:<root> | coco:<root> | folder:<dir>')
+    p.add_argument('--version', default='vit-s-vqgan')
+    p.add_argument('--epochs', type=int, default=100)
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--grad-accum', type=int, default=8)
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--lr-min', type=float, default=5e-5)
+    p.add_argument('--warmup-steps', type=int, default=50000)
+    p.add_argument('--warmup-lr-init', type=float, default=1e-6)
+    p.add_argument('--decay-steps', type=int, default=100000)
+    p.add_argument('--mixed-precision', default='bf16')
+    p.add_argument('--result-folder', default='./results/vqgan')
+    p.add_argument('--log-dir', default='./log')
+    p.add_argument('--save-every', type=int, default=10000)
+    p.add_argument('--sample-every', type=int, default=1000)
+    p.add_argument('--resume', default=None)
+    p.add_argument('--num-workers', type=int, default=8)
+    args = p.parse_args()
+
+    import paintmind_tpu as pm
+    from paintmind_tpu.utils.transform import stage1_transform
+
+    transform = stage1_transform(is_train=True)
+    kind, _, root = args.dataset.partition(':')
+    if kind == 'imagenet':
+        from paintmind_tpu.utils.datasets import ImageNet
+        dataset = ImageNet(root, transform=transform)
+    elif kind == 'coco':
+        from paintmind_tpu.utils.datasets import CoCo
+        dataset = CoCo(root, transform=transform)
+    elif kind == 'folder':
+        import os
+        from PIL import Image
+
+        class Folder:
+            def __init__(self, d):
+                self.paths = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                              if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+
+            def __len__(self):
+                return len(self.paths)
+
+            def __getitem__(self, i):
+                return transform(Image.open(self.paths[i]).convert('RGB'))
+
+        dataset = Folder(root)
+    else:
+        raise SystemExit(f'unknown dataset spec {args.dataset!r}')
+
+    model = pm.create_model(arch='vqgan', version=args.version,
+                            pretrained=False)
+    trainer = pm.VQGANTrainer(
+        model, dataset, num_epoch=args.epochs, lr=args.lr,
+        lr_min=args.lr_min, warmup_steps=args.warmup_steps,
+        warmup_lr_init=args.warmup_lr_init, decay_steps=args.decay_steps,
+        batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
+        mixed_precision=args.mixed_precision, save_every=args.save_every,
+        sample_every=args.sample_every, result_folder=args.result_folder,
+        log_dir=args.log_dir, num_workers=args.num_workers)
+    if args.resume:
+        trainer.resume(args.resume)
+    trainer.train()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,110 @@
+"""On-chip kernel checks (run manually on the real TPU; CPU CI covers the
+XLA paths).  Usage: PYTHONPATH=.:$PYTHONPATH python tools/tpu_checks.py"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def fence(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def check_flash_attention():
+    import jax, jax.numpy as jnp
+    from paintmind_tpu.ops.flash_attention import flash_attention, _xla_reference
+    rng = np.random.default_rng(0)
+    for (b, n, m, h, d) in [(2, 1024, 1024, 8, 64), (2, 1024, 77, 16, 64)]:
+        q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, m, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, m, h, d)), jnp.float32)
+        out = flash_attention(q, k, v, d ** -0.5)
+        with jax.default_matmul_precision('highest'):
+            ref = _xla_reference(q, k, v, d ** -0.5)
+        mae = float(jnp.mean(jnp.abs(out - ref)))
+        print(f'flash_attention b={b} n={n} m={m} h={h}: mae={mae:.2e}')
+        assert mae < 5e-3, mae
+        # grads flow (custom_vjp path)
+        g = jax.grad(lambda q_: jnp.sum(flash_attention(q_, k, v, d ** -0.5)))(q)
+        assert np.isfinite(fence(g))
+    print('flash_attention OK')
+
+
+def check_vq_lookup():
+    import jax.numpy as jnp
+    from paintmind_tpu.ops.vq_lookup import fused_nearest_codes
+    from paintmind_tpu.models.quantize import l2norm
+    rng = np.random.default_rng(1)
+    z = l2norm(jnp.asarray(rng.standard_normal((4, 1024, 32)), jnp.float32))
+    e = l2norm(jnp.asarray(rng.standard_normal((8192, 32)), jnp.float32))
+    idx = fused_nearest_codes(z, e)
+    ref = jnp.argmax(jnp.einsum('bld,nd->bln', z, e), axis=-1)
+    match = float(jnp.mean((idx == ref).astype(jnp.float32)))
+    print(f'vq_lookup agreement: {match:.4f}')
+    assert match > 0.999, match
+    print('vq_lookup OK')
+
+
+def check_fused_sampling():
+    import jax, jax.numpy as jnp
+    from paintmind_tpu.ops.sampling import fused_gumbel_topk_sample
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.standard_normal((8, 1024, 8192)) * 3, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    pred, conf = fused_gumbel_topk_sample(logits, key, 1.0, k=5)
+    # every pred is within the row's top-5
+    top5 = jax.lax.top_k(logits, 5)[1]
+    in_top5 = jnp.any(top5 == pred[..., None], axis=-1)
+    frac = float(jnp.mean(in_top5.astype(jnp.float32)))
+    print(f'pred in top-5: {frac:.4f}')
+    assert frac == 1.0, frac
+    # conf == softmax prob of pred
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref_conf = jnp.take_along_axis(probs, pred[..., None], -1)[..., 0]
+    mae = float(jnp.mean(jnp.abs(conf - ref_conf)))
+    print(f'conf mae vs softmax gather: {mae:.2e}')
+    assert mae < 1e-5, mae
+    # temp→0 ⇒ argmax
+    pred0, _ = fused_gumbel_topk_sample(logits, key, 1e-8, k=5)
+    agree = float(jnp.mean((pred0 == jnp.argmax(logits, -1)).astype(jnp.float32)))
+    print(f'temp→0 argmax agreement: {agree:.4f}')
+    assert agree > 0.999
+    # determinism
+    pred2, _ = fused_gumbel_topk_sample(logits, key, 1.0, k=5)
+    assert bool(jnp.all(pred2 == pred))
+    # distribution: sampled ids follow top-5 softmax weights roughly
+    print('fused_sampling OK')
+
+
+def bench_generate():
+    import jax, jax.numpy as jnp
+    from paintmind_tpu.models.pipeline import Pipeline
+    pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
+                    compute_dtype=jnp.bfloat16)
+    for batch in (8, 32):
+        ctx = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (batch, 77, 1024)).astype(np.float32))
+        t0 = time.time()
+        out = pipe.generate(text=ctx, timesteps=16, topk=5,
+                            decode_steps='final', key=jax.random.PRNGKey(0))
+        fence(out[-1])
+        print(f'batch {batch} compile+first: {time.time() - t0:.1f}s')
+        n = 3
+        t0 = time.time()
+        for i in range(n):
+            out = pipe.generate(text=ctx, timesteps=16, topk=5,
+                                decode_steps='final',
+                                key=jax.random.PRNGKey(i + 1))
+            fence(out[-1])
+        dt = (time.time() - t0) / n
+        print(f'batch {batch}: {dt:.3f}s/gen -> {batch / dt:.2f} img/s/chip')
+
+
+if __name__ == '__main__':
+    check_flash_attention()
+    check_vq_lookup()
+    check_fused_sampling()
+    bench_generate()
