@@ -306,7 +306,7 @@ class Pipeline:
         if params is None:
             params = init_pipeline(jax.random.PRNGKey(seed), cfg, param_dtype,
                                    vqgan_params=self.vqgan.params)
-        self.params = params
+        self.params = self._maybe_cast(params)
         self.vqgan.params = self.params['vqgan']
 
         self.text_model = None
@@ -324,6 +324,17 @@ class Pipeline:
         self._loss = jax.jit(functools.partial(pipeline_loss, cfg=cfg))
 
     # -- helpers ---------------------------------------------------------
+
+    def _maybe_cast(self, params):
+        """Inference pipelines hold params directly in compute_dtype —
+        avoids re-converting every weight inside the sampling scan (fp32
+        masters live in the trainer's state, not here)."""
+        if self.compute_dtype is None:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(self.compute_dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
 
     def _next_key(self, key=None):
         if key is not None:
@@ -457,7 +468,8 @@ class Pipeline:
 
     def from_pretrained(self, path):
         from ..utils.checkpoint import load_params
-        self.params = load_params(path, template=self.params, model='pipeline')
+        self.params = self._maybe_cast(
+            load_params(path, template=self.params, model='pipeline'))
         self.vqgan.params = self.params['vqgan']
         return self
 

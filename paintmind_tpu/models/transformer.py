@@ -78,8 +78,9 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                     dropout_rate=cfg.dropout, key=key,
                     deterministic=deterministic, backend=backend, remat=remat)
     x = layernorm(p['norm'], x)
-    # vocab projection: matmul in the activation dtype (MXU/bf16-friendly)
-    # with fp32 accumulation + fp32 logits out
+    # vocab projection in the activation dtype (fp32 accumulation inside the
+    # MXU); emitting bf16 logits halves HBM traffic for the (B·L, 8192)
+    # tensor — downstream softmax/CE/sampling all upcast to fp32 internally
     logits = jnp.dot(x, p['to_logits']['kernel'].astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    return logits + p['to_logits']['bias'].astype(jnp.float32)
+                     preferred_element_type=x.dtype)
+    return logits + p['to_logits']['bias'].astype(x.dtype)

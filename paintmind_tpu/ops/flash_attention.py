@@ -32,11 +32,13 @@ NEG_INF = -1e30
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_q):
     # q_ref: (1, 1, BLOCK_Q, D); k_ref/v_ref: (1, 1, M_pad, D)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
+    # keep q/k in their input dtype (bf16 on the fast path) so the MXU runs
+    # native bf16 passes; accumulate and scale in fp32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     v = v_ref[0, 0]
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32) * scale
     m_pad = k.shape[0]
     if kv_len < m_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)

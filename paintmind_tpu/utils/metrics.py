@@ -1,0 +1,79 @@
+"""Evaluation metrics for the benchmark/parity suite (BASELINE driver
+metric: "vit-s-vqgan rec PSNR/rFID").
+
+  * PSNR / MAE / MSE on [-1, 1] images
+  * codebook utilization + perplexity (standard VQGAN health metrics;
+    extension over the reference, which logs none)
+  * FID machinery (activation statistics + Fréchet distance) with a
+    pluggable feature extractor — rFID needs InceptionV3 weights, which
+    must be supplied offline (``fid_features_fn``); the math here is
+    self-contained.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mae(a, b):
+    return float(jnp.mean(jnp.abs(jnp.asarray(a, jnp.float32)
+                                  - jnp.asarray(b, jnp.float32))))
+
+
+def mse(a, b):
+    return float(jnp.mean(jnp.square(jnp.asarray(a, jnp.float32)
+                                     - jnp.asarray(b, jnp.float32))))
+
+
+def psnr(a, b, data_range=2.0):
+    """PSNR for images in [-1, 1] (data_range=2)."""
+    m = mse(a, b)
+    if m == 0:
+        return float('inf')
+    return float(10.0 * np.log10(data_range ** 2 / m))
+
+
+def codebook_stats(indices, n_embed):
+    """Utilization fraction and perplexity of code usage."""
+    counts = np.bincount(np.asarray(indices).reshape(-1), minlength=n_embed)
+    probs = counts / max(counts.sum(), 1)
+    nz = probs[probs > 0]
+    perplexity = float(np.exp(-np.sum(nz * np.log(nz)))) if nz.size else 0.0
+    return {'usage': float((counts > 0).mean()), 'perplexity': perplexity}
+
+
+# ---------------------------------------------------------------------------
+# FID
+# ---------------------------------------------------------------------------
+
+def activation_statistics(features):
+    """features: (N, D) → (mu, sigma)."""
+    feats = np.asarray(features, np.float64)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """Fréchet distance between two Gaussians (the FID formula)."""
+    from scipy import linalg  # scipy ships with jax
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def fid(real_features, fake_features):
+    """FID between two feature sets (N, D) — e.g. InceptionV3 pool3 for
+    standard rFID, or any embedding for a relative comparison."""
+    mu1, s1 = activation_statistics(real_features)
+    mu2, s2 = activation_statistics(fake_features)
+    return frechet_distance(mu1, s1, mu2, s2)

@@ -1,0 +1,126 @@
+"""The five BASELINE.json benchmark configs, measured on the real chip.
+Writes bench_report.json and prints a table (bench.py remains the one-line
+headline bench the driver consumes).
+
+  1. vit-s-vqgan single-image 256² encode→quantize→decode (pm.reconstruction)
+  2. batched reconstruction, batch 16 bf16, on-device stage1_transform
+  3. 16-step unconditional token generation + VQGAN detokenize
+  4. text-to-image with caption conditioning + classifier-free guidance
+  5. VQGAN train step (recon + LPIPS + GAN, grad-accum, bf16)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def fence(x):
+    import jax.numpy as jnp
+    import jax
+    return jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(jnp.asarray(a).astype(jnp.float32))), x)
+
+
+def timed(fn, n=3):
+    fence(fn())
+    t0 = time.time()
+    for _ in range(n):
+        fence(fn())
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import paintmind_tpu as pm
+    from paintmind_tpu.models.pipeline import Pipeline
+    from paintmind_tpu.ops.image import stage1_transform_device
+
+    report = {}
+    rng = np.random.default_rng(0)
+
+    # -- config 1: single-image reconstruction --------------------------
+    vq = pm.create_model(arch='vqgan', version='vit-s-vqgan',
+                         pretrained=False, compute_dtype=jnp.bfloat16)
+    x1 = rng.standard_normal((1, 256, 256, 3)).astype(np.float32)
+
+    def recon_single():
+        z, _, _ = vq.encode(x1)
+        return vq.decode(z)
+
+    dt = timed(recon_single)
+    report['1_single_recon'] = {'latency_ms': dt * 1000,
+                                'images_per_sec': 1 / dt}
+
+    # -- config 2: batched recon + on-device transform ------------------
+    raw = jnp.asarray(rng.integers(0, 255, (16, 384, 384, 3), dtype=np.uint8))
+
+    def recon_batch():
+        imgs = stage1_transform_device(raw, jax.random.PRNGKey(0),
+                                       is_train=True, dtype=jnp.bfloat16)
+        z, _, _ = vq.encode(imgs)
+        return vq.decode(z)
+
+    dt = timed(recon_batch)
+    report['2_batched_recon_bf16'] = {'latency_ms': dt * 1000,
+                                      'images_per_sec': 16 / dt}
+
+    # -- configs 3 + 4: generation --------------------------------------
+    pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
+                    compute_dtype=jnp.bfloat16)
+    B = 32
+    ctx = jnp.asarray(rng.standard_normal((B, 77, 1024)).astype(np.float32))
+
+    def gen_uncond():
+        return pipe.generate(num_samples=B, timesteps=16, topk=5,
+                             decode_steps='final', key=jax.random.PRNGKey(1))
+
+    dt = timed(gen_uncond)
+    report['3_uncond_16step'] = {'latency_s': dt, 'images_per_sec': B / dt}
+
+    def gen_cfg():
+        return pipe.generate(text=ctx, timesteps=16, topk=5,
+                             guidance_scale=3.0, decode_steps='final',
+                             key=jax.random.PRNGKey(2))
+
+    dt = timed(gen_cfg)
+    report['4_t2i_cfg3'] = {'latency_s': dt, 'images_per_sec': B / dt}
+
+    # -- config 5: VQGAN train step --------------------------------------
+    from paintmind_tpu import optim
+    from paintmind_tpu.train import steps as ts
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.models import lpips as lpips_mod
+
+    model = VQModel(pm.ver2cfg['vit-s-vqgan'], seed=0)
+    g_tx = optim.adam(1e-4, max_grad_norm=1.0)
+    d_tx = optim.adam(1e-4, max_grad_norm=1.0)
+    lp = lpips_mod.init_lpips(jax.random.PRNGKey(0))
+    step = jax.jit(ts.make_vqgan_train_step(
+        model.config, g_tx, d_tx, lpips_params=lp, grad_accum=2,
+        compute_dtype=jnp.bfloat16))
+    state = ts.init_vqgan_train_state(jax.random.PRNGKey(1), model.params,
+                                      g_tx, d_tx)
+    imgs = jnp.asarray(rng.standard_normal((16, 256, 256, 3)).astype(np.float32))
+
+    def train_step():
+        nonlocal state
+        state, metrics = step(state, imgs)
+        return metrics
+
+    dt = timed(train_step)
+    report['5_vqgan_train_step'] = {'latency_s': dt,
+                                    'images_per_sec': 16 / dt}
+
+    print(json.dumps(report, indent=2))
+    with open('bench_report.json', 'w') as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()
