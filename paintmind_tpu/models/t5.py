@@ -179,7 +179,7 @@ def convert_t5_encoder(sd, prefix=''):
     }
 
 
-class T5TextEncoder:
+class T5TextEncoder:  # reference name: T5TextEmbedder (alias below)
     """Frozen text tower with the reference T5TextEmbedder call contract:
     ``encoder(list_of_strings) -> (B, 77, d_model)``.
 
@@ -233,3 +233,7 @@ class T5TextEncoder:
         return self.encode_ids(text)
 
     encode = __call__
+
+
+# reference-name alias (paintmind/modules/encoder.py:18)
+T5TextEmbedder = T5TextEncoder
