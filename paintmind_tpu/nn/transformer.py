@@ -76,7 +76,7 @@ def init_stack(key, depth, dim, *, dim_head, mlp_dim, num_head, cross=False,
 
 
 def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
-                deterministic=True, backend=None, remat=False):
+                deterministic=True, backend=None, remat=False, unroll=1):
     depth = jax.tree_util.tree_leaves(p)[0].shape[0]
     keys = jax.random.split(key, depth) if key is not None else None
 
@@ -93,5 +93,5 @@ def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
     xs = p if keys is None else (p, keys)
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
     return x

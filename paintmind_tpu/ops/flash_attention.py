@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_BLOCK_Q = 512  # queries per program; tunable
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_q):
@@ -68,7 +69,7 @@ def _flash_forward(q, k, v, scale):
     kf = k.transpose(0, 2, 1, 3)
     vf = v.transpose(0, 2, 1, 3)
 
-    block_q = min(n, 512)
+    block_q = min(n, _BLOCK_Q)
     grid = (b, h, n // block_q)
 
     out = pl.pallas_call(

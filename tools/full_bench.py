@@ -117,6 +117,29 @@ def main():
     report['5_vqgan_train_step'] = {'latency_s': dt,
                                     'images_per_sec': 16 / dt}
 
+    # -- extra: stage-2 MaskGIT train step -------------------------------
+    tx2 = ts.masked_tx(optim.lion(1e-4, weight_decay=0.05,
+                                  max_grad_norm=1.0), pipe.params)
+    params32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, pipe.params)
+    pstate = ts.init_pipeline_train_state(jax.random.PRNGKey(5), params32,
+                                          tx2)
+    pstep = jax.jit(ts.make_pipeline_train_step(
+        pipe.config, tx2, grad_accum=2, compute_dtype=jnp.bfloat16))
+    imgs2 = jnp.asarray(rng.standard_normal((16, 256, 256, 3)).astype(np.float32))
+    ctx2 = jnp.asarray(rng.standard_normal((16, 77, 1024)).astype(np.float32))
+
+    def train_step2():
+        nonlocal pstate
+        pstate, metrics = pstep(pstate, imgs2, ctx2,
+                                jnp.asarray(0.7, jnp.float32))
+        return metrics
+
+    dt = timed(train_step2)
+    report['6_paintmind_train_step'] = {'latency_s': dt,
+                                        'images_per_sec': 16 / dt}
+
     print(json.dumps(report, indent=2))
     with open('bench_report.json', 'w') as f:
         json.dump(report, f, indent=2)
