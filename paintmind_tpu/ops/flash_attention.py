@@ -12,10 +12,10 @@ are (block_q, D) with D equal to the full minor dimension — the layout the
 Mosaic lowering requires; XLA fuses the transposes into the surrounding
 projection reshapes.
 
-Backward: ``custom_vjp`` recomputes the forward with the plain XLA einsum
-path and differentiates that — O(N·M) memory only inside the bwd jit, which
-XLA handles fine at seq 1024; a dedicated Pallas backward kernel is a later
-optimization.
+Backward: a dedicated Pallas kernel recomputes the (N, M) probabilities for
+one (batch, head) entirely in VMEM and produces dq/dk/dv with four MXU
+matmuls — attention probabilities never hit HBM in either direction.  Set
+``_BWD_IMPL = 'xla'`` to fall back to differentiating the einsum reference.
 """
 
 from __future__ import annotations
@@ -108,12 +108,91 @@ def flash_attention(q, k, v, scale):
     return _flash_forward(q, k, v, scale)
 
 
+_BWD_IMPL = 'pallas'  # 'pallas' | 'xla'
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                scale, kv_len):
+    # all refs: (1, 1, N or M_pad, D); one (batch, head) per program
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    m_pad = k.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len < m_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # (N, M) fp32
+    pb = p.astype(q.dtype)
+
+    # dv = p^T g
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pb, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    # dp = g v^T
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)      # (N, M)
+    # dq = ds k ; dk = ds^T q
+    dq_ref[0, 0] = jnp.dot(ds, k,
+                           preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('scale',))
+def _flash_backward(q, k, v, g, scale):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    m_pad = _round_up(m, 128)
+    if m_pad != m:
+        pad = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    qf, kf, vf, gf = (t.transpose(0, 2, 1, 3) for t in (q, k, v, g))
+
+    spec_n = pl.BlockSpec((1, 1, n, d), lambda bi, hi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, 1, m_pad, d), lambda bi, hi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, kv_len=m),
+        grid=(b, h),
+        in_specs=[spec_n, spec_m, spec_m, spec_n],
+        out_specs=[spec_n, spec_m, spec_m],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, m_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, m_pad, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * n * m_pad * d,
+            bytes_accessed=(4 * b * n * h * d + 4 * b * m_pad * h * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * n * m_pad,
+        ),
+    )(qf, kf, vf, gf)
+    dq = dq.transpose(0, 2, 1, 3)
+    dk = dk.transpose(0, 2, 1, 3)[:, :m]
+    dv = dv.transpose(0, 2, 1, 3)[:, :m]
+    return dq, dk, dv
+
+
 def _fwd(q, k, v, scale):
     return _flash_forward(q, k, v, scale), (q, k, v)
 
 
 def _bwd(scale, res, g):
     q, k, v = res
+    if _BWD_IMPL == 'pallas':
+        return _flash_backward(q, k, v, g, scale)
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale), q, k, v)
     return vjp(g)
 

@@ -96,7 +96,8 @@ class VQGANTrainer(_TrainerBase):
                  pin_memory=False, max_grad_norm=1.0, grad_accum_steps=1,
                  mixed_precision='bf16', save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
-                 perceptual_weights='auto', d_weight=0.1, log_every=1):
+                 perceptual_weights='auto', d_weight=0.1, log_every=1,
+                 disc_config=None):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -129,7 +130,9 @@ class VQGANTrainer(_TrainerBase):
 
         self.lpips_params = self._load_perceptual(perceptual_weights)
 
-        self.dcfg = disc_mod.DiscriminatorConfig(input_nc=3, ndf=64, n_layers=3)
+        # reference config: NLayerDiscriminator(3, 64, 3) (trainer.py:94)
+        self.dcfg = disc_config or disc_mod.DiscriminatorConfig(
+            input_nc=3, ndf=64, n_layers=3)
         step_fn = train_steps.make_vqgan_train_step(
             vqvae.config, g_tx, d_tx, dcfg=self.dcfg,
             lpips_params=self.lpips_params, d_weight=d_weight,

@@ -40,7 +40,10 @@ def test_train_save_factory_load_roundtrip(tmp_path):
         num_workers=1, mixed_precision='no', save_every=100,
         sample_every=100, result_folder=str(tmp_path),
         log_dir=str(tmp_path / 'log'), perceptual_weights='none',
-        warmup_steps=1)
+        warmup_steps=1,
+        disc_config=__import__('paintmind_tpu.models.discriminator',
+                               fromlist=['DiscriminatorConfig']
+                               ).DiscriminatorConfig(3, 16, 2))
     trainer.train()
     ckpt = tmp_path / 'models' / f'vit_vq_step_{trainer.steps}.npz'
     trainer.save()

@@ -155,7 +155,7 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         warmup_steps=2, warmup_lr_init=1e-6, batch_size=16, num_workers=2,
         grad_accum_steps=2, mixed_precision='no', save_every=2,
         sample_every=2, result_folder=str(tmp_path), log_dir=str(tmp_path / 'log'),
-        perceptual_weights='none')
+        perceptual_weights='none', disc_config=DCFG)
     p0 = jax.tree_util.tree_map(np.asarray, model.params)
     trainer.train()
     assert trainer.steps == 2  # 40//16 = 2 batches (drop_last)
@@ -176,7 +176,7 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         VQModel(SMALL_VQ, seed=5), ds, num_epoch=1, valid_size=8,
         batch_size=16, num_workers=2, mixed_precision='no',
         result_folder=str(tmp_path / 'r2'), log_dir=str(tmp_path / 'log2'),
-        perceptual_weights='none')
+        perceptual_weights='none', disc_config=DCFG)
     trainer2.resume(ckpt)
     assert trainer2.steps == trainer.steps
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state['g_params']),

@@ -27,10 +27,21 @@ def check_flash_attention():
         mae = float(jnp.mean(jnp.abs(out - ref)))
         print(f'flash_attention b={b} n={n} m={m} h={h}: mae={mae:.2e}')
         assert mae < 5e-3, mae
-        # grads flow (custom_vjp path)
-        g = jax.grad(lambda q_: jnp.sum(flash_attention(q_, k, v, d ** -0.5)))(q)
-        assert np.isfinite(fence(g))
-    print('flash_attention OK')
+        # backward kernel vs XLA-reference grads
+        def loss_flash(q_, k_, v_):
+            return jnp.sum(jnp.square(flash_attention(q_, k_, v_, d ** -0.5)))
+
+        def loss_ref(q_, k_, v_):
+            with jax.default_matmul_precision('highest'):
+                return jnp.sum(jnp.square(_xla_reference(q_, k_, v_, d ** -0.5)))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, bb in zip('qkv', gf, gr):
+            rel = float(jnp.mean(jnp.abs(a - bb)) / (jnp.mean(jnp.abs(bb)) + 1e-9))
+            print(f'  d{name} rel err: {rel:.2e}')
+            assert rel < 2e-2, (name, rel)
+    print('flash_attention OK (fwd + pallas bwd)')
 
 
 def check_vq_lookup():
