@@ -49,6 +49,12 @@ class ViTConfig:
     dim_head: int = 64
     dropout: float = 0.0
 
+    def __post_init__(self):
+        if self.image_size % self.patch_size:
+            raise ValueError(
+                'Image dimensions must be divisible by the patch size '
+                f'(image_size={self.image_size}, patch_size={self.patch_size})')
+
     @property
     def grid(self):
         return self.image_size // self.patch_size
@@ -261,6 +267,11 @@ class VQModel:
 
     def _prep(self, img):
         img = _as_nhwc(img)
+        size = self.config.enc.image_size
+        if img.shape[1] != size or img.shape[2] != size:
+            raise ValueError(
+                f'expected {size}x{size} images (config enc.image_size), '
+                f'got input of shape {tuple(img.shape)}')
         if self.compute_dtype is not None:
             img = img.astype(self.compute_dtype)
         return img

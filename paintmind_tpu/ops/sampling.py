@@ -43,9 +43,13 @@ def _sample_kernel(seed_ref, temp_ref, logits_ref, pred_ref, conf_ref, *, k):
     for _ in range(k - 1):
         thr = jnp.max(jnp.where(l < thr, l, NEG_INF), axis=-1, keepdims=True)
 
-    # gumbel noise from on-core PRNG
-    bits = pltpu.prng_random_bits(l.shape)
-    u = (bits >> 8).astype(jnp.float32) * (2.0 ** -24)
+    # gumbel noise from on-core PRNG; bitcast first — prng_random_bits
+    # yields signed int32 and an arithmetic shift would fold the sign bit
+    # into the uniform (halving the noise and biasing toward argmax)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(l.shape), jnp.uint32)
+    # logical-shift to 24 bits, then view as int32 (top bits zero) since
+    # Mosaic lacks a uint32→f32 cast
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (2.0 ** -24)
     g = -jnp.log(-jnp.log(jnp.maximum(u, 1e-20)))
 
     temp = jnp.maximum(temp_ref[0], 1e-10)

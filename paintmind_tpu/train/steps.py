@@ -77,7 +77,9 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
                           d_weight=0.1, grad_accum=1, compute_dtype=None,
                           backend=None, remat=False):
     """Returns jittable ``step(state, imgs) -> (state, metrics)``;
-    imgs: (grad_accum · micro, H, W, C) fp32 in [-1, 1]."""
+    imgs: (grad_accum · micro, H, W, C) fp32 in [-1, 1].  ``remat=True``
+    rematerializes the transformer stacks in the backward pass (memory ↔
+    FLOPs trade for large batches)."""
 
     def forward_rec(g_params, img):
         rec, cb_loss = vm.forward(g_params, _cast(img, compute_dtype), cfg,
@@ -112,6 +114,9 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
 
     def step(state, imgs):
         b = imgs.shape[0]
+        if b % grad_accum:
+            raise ValueError(f'batch size {b} not divisible by '
+                             f'grad_accum_steps={grad_accum}')
         micro = b // grad_accum
         imgs = imgs.reshape(grad_accum, micro, *imgs.shape[1:])
         key, k_step = jax.random.split(state['key'])
@@ -216,6 +221,9 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
 
     def step(state, imgs, context, mask_ratio):
         b = imgs.shape[0]
+        if b % grad_accum:
+            raise ValueError(f'batch size {b} not divisible by '
+                             f'grad_accum_steps={grad_accum}')
         micro = b // grad_accum
         imgs = imgs.reshape(grad_accum, micro, *imgs.shape[1:])
         if context is not None:

@@ -97,7 +97,7 @@ class VQGANTrainer(_TrainerBase):
                  mixed_precision='bf16', save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
-                 disc_config=None):
+                 disc_config=None, remat=False):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -137,7 +137,7 @@ class VQGANTrainer(_TrainerBase):
             vqvae.config, g_tx, d_tx, dcfg=self.dcfg,
             lpips_params=self.lpips_params, d_weight=d_weight,
             grad_accum=grad_accum_steps,
-            compute_dtype=_dtype_of(mixed_precision))
+            compute_dtype=_dtype_of(mixed_precision), remat=remat)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         key = jax.random.PRNGKey(seed)
@@ -248,7 +248,8 @@ class PaintMindTrainer(_TrainerBase):
                  grad_accum_steps=1, mixed_precision='bf16',
                  max_grad_norm=1.0, save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
-                 cfg_p=0.1, log_every=1, text_embedder=None, **kwargs):
+                 cfg_p=0.1, log_every=1, text_embedder=None, remat=False,
+                 **kwargs):
         # reference kwarg is `optim`; shadowed by our optim module import
         optim_name = optim_name or kwargs.pop('optim', 'lion')
         del pin_memory
@@ -289,7 +290,7 @@ class PaintMindTrainer(_TrainerBase):
 
         step_fn = train_steps.make_pipeline_train_step(
             model.config, tx, grad_accum=grad_accum_steps,
-            compute_dtype=_dtype_of(mixed_precision))
+            compute_dtype=_dtype_of(mixed_precision), remat=remat)
         self._step = jax.jit(step_fn, donate_argnums=(0,),
                              static_argnames=())
 

@@ -219,3 +219,24 @@ def test_paintmind_trainer_end_to_end(tmp_path):
         jax.tree_util.tree_leaves(pipe.params['vqgan'])))
     assert tr_changed and vq_same
     assert np.isfinite(trainer.log['loss'])
+
+
+def test_remat_step_compiles(rng):
+    """jax.checkpoint path through both train steps."""
+    from paintmind_tpu import optim as pmoptim
+    from paintmind_tpu.models import pipeline as pline
+    from paintmind_tpu.models import vqmodel as vmod
+    from paintmind_tpu.train import steps as ts
+
+    cfg = pline.PipelineConfig(
+        stage1='test-vqgan-tr', dim=32, dim_head=16, mlp_dim=64, num_head=2,
+        depth=2, dropout=0.0, vqc=vmod.VQModelConfig.from_dict(SMALL_VQ),
+        t5_dim=48)
+    params = pline.init_pipeline(jax.random.PRNGKey(0), cfg)
+    tx = ts.masked_tx(pmoptim.lion(1e-3), params)
+    state = ts.init_pipeline_train_state(jax.random.PRNGKey(1), params, tx)
+    step = jax.jit(ts.make_pipeline_train_step(cfg, tx, grad_accum=1,
+                                               remat=True))
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    state, m = step(state, imgs, None, jnp.asarray(0.5))
+    assert np.isfinite(float(m['loss']))

@@ -86,7 +86,18 @@ def check_fused_sampling():
     # determinism
     pred2, _ = fused_gumbel_topk_sample(logits, key, 1.0, k=5)
     assert bool(jnp.all(pred2 == pred))
-    # distribution: sampled ids follow top-5 softmax weights roughly
+    # distribution: repeated draws over one logits row follow the
+    # top-5 softmax (gumbel-max property); TV distance small
+    row = logits[0, 0]
+    top_vals, top_idx = jax.lax.top_k(row, 5)
+    target = np.asarray(jax.nn.softmax(top_vals))
+    draws = 4000
+    many = jnp.broadcast_to(row, (draws, row.shape[0]))
+    preds, _ = fused_gumbel_topk_sample(many, jax.random.PRNGKey(7), 1.0, k=5)
+    counts = np.array([(np.asarray(preds) == int(i)).mean() for i in top_idx])
+    tv = 0.5 * np.abs(counts - target).sum()
+    print(f'fused sampler TV distance vs top-5 softmax: {tv:.4f}')
+    assert tv < 0.03, tv
     print('fused_sampling OK')
 
 
