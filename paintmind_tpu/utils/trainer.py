@@ -67,18 +67,33 @@ class _TrainerBase:
         os.makedirs(self.model_saved_dir, exist_ok=True)
         os.makedirs(self.image_saved_dir, exist_ok=True)
 
+    _ckptr = None
+
+    def _checkpointer(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
     def _save_state(self, name):
-        import orbax.checkpoint as ocp
+        """Async atomic save (orbax): staging happens now, the write
+        completes in the background; the next save (or trainer exit)
+        synchronizes.  Exceeds the reference's blocking torch.save
+        (trainer.py:261-264)."""
         path = os.path.abspath(os.path.join(self.model_saved_dir, name))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()  # at most one save in flight
         ckptr.save(path, jax.tree_util.tree_map(np.asarray, self.state),
                    force=True)
-        ckptr.wait_until_finished()
         return path
 
+    def finalize_checkpoints(self):
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
     def _restore_state(self, path):
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()
         template = jax.tree_util.tree_map(np.asarray, self.state)
         restored = ckptr.restore(os.path.abspath(path), template)
         self.state = jax.device_put(
@@ -181,6 +196,10 @@ class VQGANTrainer(_TrainerBase):
 
                 if self.steps % self.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(m['loss']):  # failure detection (ext.)
+                        raise FloatingPointError(
+                            f'non-finite loss at step {self.steps}: {m} — '
+                            'resume from the last checkpoint with .resume()')
                     m['g lr'] = float(self.g_sched(self.steps))
                     m['d lr'] = float(self.d_sched(self.steps))
                     self.log.update(m)
@@ -199,6 +218,7 @@ class VQGANTrainer(_TrainerBase):
                     self.evaluate()
         writer.close()
         self._sync_model()
+        self.finalize_checkpoints()
         print('Train finished!')
 
     def _sync_model(self):
@@ -336,6 +356,10 @@ class PaintMindTrainer(_TrainerBase):
                 if self.steps % self.log_every == 0:
                     m = {'loss': float(metrics['loss']),
                          'lr': float(self.scheduler(self.steps))}
+                    if not np.isfinite(m['loss']):  # failure detection (ext.)
+                        raise FloatingPointError(
+                            f'non-finite loss at step {self.steps} — '
+                            'resume from the last checkpoint with .resume()')
                     self.log.update(m)
                     writer.log(m, self.steps)
 
@@ -345,6 +369,7 @@ class PaintMindTrainer(_TrainerBase):
                     self.save()
         writer.close()
         self._sync_model()
+        self.finalize_checkpoints()
         print('Train finished!')
 
     def _sync_model(self):
