@@ -181,9 +181,7 @@ def clip_image_encode(params, images,
 # Converters (open_clip state_dict layout)
 # ---------------------------------------------------------------------------
 
-def _np(t):
-    return np.array(t if isinstance(t, np.ndarray)
-                    else t.detach().cpu().numpy())
+from ..convert.torch_weights import _np
 
 
 def _conv_resblock(sd, pre):

@@ -150,12 +150,7 @@ def gradient_penalty(params, stats, real, fake, key, lambda_term=10.0,
 def convert_discriminator(sd, cfg: DiscriminatorConfig = DiscriminatorConfig()):
     """Reference NLayerDiscriminator state_dict → (params, stats).
     torch conv weight (O,I,H,W) → HWIO."""
-    import numpy as np
-
-    def np_(t):
-        # copy — torch .numpy() shares memory with live torch tensors
-        return np.array(t if isinstance(t, np.ndarray)
-                        else t.detach().cpu().numpy())
+    from ..convert.torch_weights import _np as np_
 
     # torch Sequential indices: [conv,leaky] + n-1 × [conv,bn,leaky] + final conv
     params, stats = [], []

@@ -66,7 +66,9 @@ class PipelineConfig:
         return cls(stage1=d['stage1'], t5=d['t5'], dim=d['dim'],
                    dim_head=d['dim_head'], mlp_dim=d['mlp_dim'],
                    num_head=d['num_head'], depth=d['depth'],
-                   dropout=d['dropout'], vqc=vqc, t5_dim=t5_dim)
+                   dropout=d['dropout'], vqc=vqc, t5_dim=t5_dim,
+                   normalize_sample_tokens=d.get('normalize_sample_tokens',
+                                                 False))
 
     @property
     def image_size(self):

@@ -144,13 +144,10 @@ def t5_encode(params, input_ids, cfg: T5Config, dtype=jnp.float32):
 
 def convert_t5_encoder(sd, prefix=''):
     """HF torch T5EncoderModel state_dict → our pytree."""
-    def np_(t):
-        # copy — torch .numpy() shares memory with live torch tensors
-        return np.array(t if isinstance(t, np.ndarray)
-                        else t.detach().cpu().numpy())
+    from ..convert.torch_weights import _np
 
     def g(name):
-        return np_(sd[prefix + name])
+        return _np(sd[prefix + name])
 
     i = 0
     blocks = []

@@ -71,7 +71,9 @@ def _xla_attention(q, k, v, scale):
 def _flash_ok(q, k):
     b, n, h, d = q.shape
     m = k.shape[1]
-    return d <= 128 and n % 128 == 0 and m >= 16
+    # the kernel pads ragged query/key tails; below these sizes the padding
+    # overhead outweighs the fusion win
+    return d <= 128 and n >= 128 and m >= 16
 
 
 def attention(p, x, context=None, *, heads, dropout_rate=0.0, key=None,

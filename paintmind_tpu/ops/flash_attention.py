@@ -64,13 +64,16 @@ def _flash_forward(q, k, v, scale):
         pad = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+    block_q = min(_round_up(n, 128), _BLOCK_Q)
+    n_pad = _round_up(n, block_q)  # pad tail queries; sliced off below
+    if n_pad != n:
+        q = jnp.pad(q, [(0, 0), (0, n_pad - n), (0, 0), (0, 0)])
     # (B, N, H, D) -> (B, H, N, D)
     qf = q.transpose(0, 2, 1, 3)
     kf = k.transpose(0, 2, 1, 3)
     vf = v.transpose(0, 2, 1, 3)
 
-    block_q = min(n, _BLOCK_Q)
-    grid = (b, h, n // block_q)
+    grid = (b, h, n_pad // block_q)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, kv_len=m, block_q=block_q),
@@ -86,14 +89,14 @@ def _flash_forward(q, k, v, scale):
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * m * d,
             bytes_accessed=(2 * b * n * h * d + 2 * b * m_pad * h * d) * q.dtype.itemsize,
             transcendentals=b * h * n * m,
         ),
     )(qf, kf, vf)
-    return out.transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3)[:, :n]
 
 
 def _xla_reference(q, k, v, scale):
@@ -111,14 +114,23 @@ def flash_attention(q, k, v, scale):
 _BWD_IMPL = 'pallas'  # 'pallas' | 'xla'
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, kv_len):
-    # all refs: (1, 1, N or M_pad, D); one (batch, head) per program
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale, kv_len):
+    # q/g blocks: (1, 1, BLOCK_Q, D); k/v: (1, 1, M_pad, D); grid is
+    # (b, h, n/BLOCK_Q) with the query index innermost — dk/dv accumulate
+    # across query blocks in fp32 VMEM scratch and are written on the last.
+    qi = pl.program_id(2)
+    n_qi = pl.num_programs(2)
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     g = g_ref[0, 0]
     m_pad = k.shape[0]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -127,50 +139,65 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         s = jnp.where(col < kv_len, s, NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)          # (N, M) fp32
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # (BLOCK_Q, M) fp32
     pb = p.astype(q.dtype)
 
-    # dv = p^T g
-    dv_ref[0, 0] = jax.lax.dot_general(
+    dv_acc[:] += jax.lax.dot_general(                   # dv += p^T g
         pb, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp = g v^T
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)      # (N, M)
-    # dq = ds k ; dk = ds^T q
+    ds = (p * (dp - delta) * scale).astype(q.dtype)      # (BLOCK_Q, M)
     dq_ref[0, 0] = jnp.dot(ds, k,
                            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jax.lax.dot_general(
+    dk_acc[:] += jax.lax.dot_general(                   # dk += ds^T q
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == n_qi - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('scale',))
 def _flash_backward(q, k, v, g, scale):
-    b, n, h, d = q.shape
+    b, n_in, h, d = q.shape
     m = k.shape[1]
     m_pad = _round_up(m, 128)
     if m_pad != m:
         pad = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+    # block queries so the (BLOCK_Q, M) prob/ds tiles fit in VMEM
+    block_q = 512 if m_pad <= 1536 else (256 if m_pad <= 3072 else 128)
+    block_q = min(block_q, _round_up(n_in, 128))
+    n = _round_up(n_in, block_q)  # padded rows get zero cotangents
+    if n != n_in:
+        qpad = [(0, 0), (0, n - n_in), (0, 0), (0, 0)]
+        q = jnp.pad(q, qpad)
+        g = jnp.pad(g, qpad)
     qf, kf, vf, gf = (t.transpose(0, 2, 1, 3) for t in (q, k, v, g))
 
-    spec_n = pl.BlockSpec((1, 1, n, d), lambda bi, hi: (bi, hi, 0, 0),
+    spec_q = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bi, hi, qi: (bi, hi, qi, 0),
                           memory_space=pltpu.VMEM)
-    spec_m = pl.BlockSpec((1, 1, m_pad, d), lambda bi, hi: (bi, hi, 0, 0),
+    spec_m = pl.BlockSpec((1, 1, m_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, kv_len=m),
-        grid=(b, h),
-        in_specs=[spec_n, spec_m, spec_m, spec_n],
-        out_specs=[spec_n, spec_m, spec_m],
+        grid=(b, h, n // block_q),
+        in_specs=[spec_q, spec_m, spec_m, spec_q],
+        out_specs=[spec_q, spec_m, spec_m],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, m_pad, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, m_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, d), jnp.float32),
+            pltpu.VMEM((m_pad, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * n * m_pad * d,
@@ -179,7 +206,7 @@ def _flash_backward(q, k, v, g, scale):
             transcendentals=b * h * n * m_pad,
         ),
     )(qf, kf, vf, gf)
-    dq = dq.transpose(0, 2, 1, 3)
+    dq = dq.transpose(0, 2, 1, 3)[:, :n_in]
     dk = dk.transpose(0, 2, 1, 3)[:, :m]
     dv = dv.transpose(0, 2, 1, 3)[:, :m]
     return dq, dk, dv

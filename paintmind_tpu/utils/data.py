@@ -93,24 +93,43 @@ class DataLoader:
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def _put(item):
+            # bounded put that aborts if the consumer went away, so a
+            # mid-epoch break never deadlocks the producer thread
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._batch_indices():
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          batch_idx.tolist()))
-                    q.put(self.collate_fn(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._batch_indices():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_idx.tolist()))
+                        if not _put(self.collate_fn(items)):
+                            return
+                _put(_END)
+            except BaseException as e:  # surface dataset errors, never hang
+                _put((_ERR, e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
                 batch = q.get()
-                if batch is None:
+                if batch is _END:
                     break
+                if isinstance(batch, tuple) and len(batch) == 2 \
+                        and batch[0] is _ERR:
+                    raise RuntimeError('DataLoader worker failed') from batch[1]
                 yield batch
         finally:
             stop.set()

@@ -243,8 +243,8 @@ class VQGANTrainer(_TrainerBase):
         all_ids = []
         for i, batch in enumerate(self.valid_dl):
             imgs = _first_images(batch)
-            rec, _ = self.vqvae(imgs)
-            _, _, ids = self.vqvae.encode(imgs)
+            z, _, ids = self.vqvae.encode(imgs)  # one encoder pass
+            rec = self.vqvae.decode(z)
             all_ids.append(np.asarray(ids))
             rec = np.asarray(rec, np.float32)
             pairs = np.stack([imgs, rec], axis=1).reshape(-1, *imgs.shape[1:])

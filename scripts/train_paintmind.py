@@ -11,7 +11,14 @@ def main():
     p.add_argument('--dataset', required=True,
                    help='coco:<root> | imagenet:<root> | diffusiondb:<ver>')
     p.add_argument('--version', default='paintmindv1')
-    p.add_argument('--stage1-checkpoint', default=None)
+    p.add_argument('--stage1-checkpoint', default=None,
+                   help='local stage-1 weights; without it the published '
+                        'pretrained vit-s-vqgan is downloaded (reference '
+                        'default) unless --stage1-random is set')
+    p.add_argument('--stage1-random', action='store_true',
+                   help='train against a RANDOM frozen tokenizer '
+                        '(debug/smoke only — generated images will be '
+                        'garbage)')
     p.add_argument('--epochs', type=int, default=40)
     p.add_argument('--optim', default='lion', choices=['lion', 'adamw'])
     p.add_argument('--batch-size', type=int, default=16)
@@ -49,7 +56,8 @@ def main():
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
     model = pm.create_pipeline_for_train(
-        version=args.version, stage1_pretrained=args.stage1_checkpoint is not None,
+        version=args.version,
+        stage1_pretrained=not args.stage1_random,
         stage1_checkpoint_path=args.stage1_checkpoint)
     trainer = pm.PaintMindTrainer(
         model, dataset, num_epoch=args.epochs, optim_name=args.optim,

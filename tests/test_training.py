@@ -240,3 +240,30 @@ def test_remat_step_compiles(rng):
     imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
     state, m = step(state, imgs, None, jnp.asarray(0.5))
     assert np.isfinite(float(m['loss']))
+
+
+def test_dataloader_propagates_worker_errors():
+    """A raising dataset item must surface, not hang the iterator."""
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise OSError('corrupt image')
+            return np.zeros((4, 4, 3), np.float32)
+
+    dl = DataLoader(Bad(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match='worker failed'):
+        list(dl)
+
+
+def test_dataloader_early_break_no_deadlock():
+    ds = _SynthDataset(64, 8)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                    prefetch=1)
+    for i, _ in enumerate(dl):
+        if i == 1:
+            break
+    # a second full iteration still works (no stuck producer)
+    assert len(list(dl)) == 16
