@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _BLOCK_Q = 512  # queries per program; tunable
+_INTERPRET = False  # pallas interpreter mode (CPU testing of kernel logic)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_q):
@@ -90,6 +91,7 @@ def _flash_forward(q, k, v, scale):
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * m * d,
             bytes_accessed=(2 * b * n * h * d + 2 * b * m_pad * h * d) * q.dtype.itemsize,
@@ -199,6 +201,7 @@ def _flash_backward(q, k, v, g, scale):
             pltpu.VMEM((m_pad, d), jnp.float32),
             pltpu.VMEM((m_pad, d), jnp.float32),
         ],
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * n * m_pad * d,
             bytes_accessed=(4 * b * n * h * d + 4 * b * m_pad * h * d)

@@ -22,6 +22,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_INTERPRET = False  # pallas interpreter mode (CPU testing of kernel logic)
+
+
 def _lookup_kernel(z_ref, e_ref, idx_ref, best_val, best_idx, *, block_c):
     ci = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -93,6 +96,7 @@ def fused_nearest_codes(z_norm, codebook_norm):
             pltpu.VMEM((block_t, 1), jnp.float32),
             pltpu.VMEM((block_t, 1), jnp.int32),
         ],
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * c * d,
             bytes_accessed=(t_pad * d + c * d + t_pad) * 4,
