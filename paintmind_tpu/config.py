@@ -99,8 +99,18 @@ pipeline_v1_config = {
     'dropout': 0.1,
 }
 
+# Extension beyond the reference: a 512² variant (4096 latent tokens) —
+# the Pallas kernels and sampler are static-shape-generic, so scaling
+# resolution only changes the registry entry.
+vit_s_vqgan_512_config = {
+    **vit_s_vqgan_config,
+    'enc': {**vit_s_vqgan_config['enc'], 'image_size': 512},
+    'dec': {**vit_s_vqgan_config['dec'], 'image_size': 512},
+}
+
 ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
+    'vit-s-vqgan-512': vit_s_vqgan_512_config,
     'paintmindv1': pipeline_v1_config,
 }
 

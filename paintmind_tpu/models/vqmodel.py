@@ -287,6 +287,13 @@ class VQModel:
 
     __call__ = forward
 
+    def reconstruct(self, img):
+        """encode→quantize→decode in ONE jitted program — halves host
+        dispatch latency vs separate encode()/decode() calls (the demo path
+        keeps the reference's two-call structure; use this for serving)."""
+        rec, _ = self._forward(self.params, self._prep(img))
+        return rec
+
     def decode_from_indice(self, indices):
         return self._decode_ids(self.params, jnp.asarray(indices))
 

@@ -25,3 +25,18 @@ def test_registry_matches_reference_hparams():
     assert v['enc']['dim'] == 512 and v['enc']['depth'] == 8
     p = ver2cfg['paintmindv1']
     assert (p['dim'], p['depth'], p['num_head']) == (1024, 12, 16)
+
+
+def test_512_variant_shapes():
+    import jax
+    import jax.numpy as jnp
+    from paintmind_tpu.models import vqmodel as vm
+
+    cfg = vm.VQModelConfig.from_dict(ver2cfg['vit-s-vqgan-512'])
+    assert cfg.enc.num_patches == 4096
+    params = jax.eval_shape(
+        lambda k: vm.init_vqmodel(k, cfg), jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda p, x: vm.forward(p, x, cfg),
+        params, jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32))
+    assert out[0].shape == (1, 512, 512, 3)

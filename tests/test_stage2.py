@@ -243,3 +243,47 @@ def test_pipeline_torch_checkpoint_import(tmp_path, rng):
         ref_logits = ttr(torch.tensor(x), torch.tensor(ctx)).numpy()
     ours = pipe.tokens2logits(x, jnp.asarray(ctx))
     assert _mae(ours, ref_logits) < 1e-5
+
+
+def test_sample_step_matches_numpy_reference_transcription(pipe_params):
+    """Full exact-sampler step vs a literal numpy transcription of the
+    reference sample() math (generate.py:159-181) sharing the same logits
+    and gumbel noise — validates top-k filter, merge, confidence, and the
+    sort/scatter re-mask end to end."""
+    cfg = SMALL_PIPE
+    b, l, topk, n_masked, temp = 2, cfg.num_tokens, 3, 6, 0.7
+    rng2 = np.random.default_rng(9)
+    ids0 = jnp.asarray(rng2.integers(0, cfg.vqc.n_embed, (b, l)), jnp.int32)
+    keep = jnp.asarray(rng2.random((b, l)) > 0.4)
+    ids0 = jnp.where(keep, ids0, cfg.mask_token_id)
+    key = jax.random.PRNGKey(21)
+
+    ids_next, pred = pl.sample_step(
+        pipe_params, ids0, key, context=None, n_masked=n_masked,
+        temperature=temp, topk=topk, cfg=cfg, backend='xla',
+        sampler='exact')
+
+    # numpy transcription on the same logits + noise
+    tokens = pl.ids_to_tokens(pipe_params, ids0, cfg)
+    logits = np.asarray(pl._transformer_logits(
+        pipe_params, tokens, None, None, cfg=cfg, backend='xla'),
+        np.float64)
+    u = np.asarray(jax.random.uniform(key, logits.shape))
+    gumbel = -np.log(-np.log(np.maximum(u, 1e-20)))
+
+    kth = np.sort(logits, axis=-1)[..., -topk:][..., :1]
+    filt = np.where(logits >= kth, logits, -np.inf)
+    pred_np = (filt / max(temp, 1e-10) + gumbel).argmax(-1)
+    assert np.array_equal(np.asarray(pred), pred_np)
+
+    is_mask = np.asarray(ids0) == cfg.mask_token_id
+    merged = np.where(is_mask, pred_np, np.asarray(ids0))
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    conf = np.take_along_axis(probs, pred_np[..., None], -1)[..., 0]
+    scores = np.where(is_mask, 1.0 - conf, -1e5)
+    expected = merged.copy()
+    for i in range(b):  # torch: scores.topk(n).indices → scatter mask_id
+        top = np.argsort(-scores[i], kind='stable')[:n_masked]
+        expected[i, top] = cfg.mask_token_id
+    assert np.array_equal(np.asarray(ids_next), expected)

@@ -50,8 +50,7 @@ def main():
     x1 = rng.standard_normal((1, 256, 256, 3)).astype(np.float32)
 
     def recon_single():
-        z, _, _ = vq.encode(x1)
-        return vq.decode(z)
+        return vq.reconstruct(x1)  # one fused program
 
     dt = timed(recon_single)
     report['1_single_recon'] = {'latency_ms': dt * 1000,
