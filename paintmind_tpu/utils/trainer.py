@@ -240,22 +240,25 @@ class VQGANTrainer(_TrainerBase):
 
     def evaluate(self):
         self._sync_model()
-        all_ids = []
+        all_ids, psnrs = [], []
         for i, batch in enumerate(self.valid_dl):
             imgs = _first_images(batch)
             z, _, ids = self.vqvae.encode(imgs)  # one encoder pass
             rec = self.vqvae.decode(z)
             all_ids.append(np.asarray(ids))
             rec = np.asarray(rec, np.float32)
+            from .metrics import psnr
+            psnrs.append(psnr(rec, imgs))
             pairs = np.stack([imgs, rec], axis=1).reshape(-1, *imgs.shape[1:])
             save_image_grid(pairs, os.path.join(
                 self.image_saved_dir, f'step_{self.steps}_{i}.png'))
-        if all_ids:  # codebook health (extension; reference logs none)
+        if all_ids:  # recon quality + codebook health (extension metrics)
             from .metrics import codebook_stats
             stats = codebook_stats(np.concatenate(all_ids),
                                    self.vqvae.config.n_embed)
             self.log.update({'codebook usage': stats['usage'],
-                             'codebook perplexity': stats['perplexity']})
+                             'codebook perplexity': stats['perplexity'],
+                             'val psnr': float(np.mean(psnrs))})
 
 
 class PaintMindTrainer(_TrainerBase):
