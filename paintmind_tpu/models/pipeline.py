@@ -424,12 +424,16 @@ class Pipeline:
             steps = [timesteps - 1]
         else:  # parity: every save_interval-th step (generate.py:195-196)
             steps = list(range(0, timesteps, save_interval))
-        sel = preds[jnp.asarray(steps)]  # (S, B, L)
-        s = len(steps)
-        imgs = self.vqgan.decode_from_indice(
-            sel.reshape(s * b, self.num_tokens))
-        imgs = imgs.reshape(s, b, *imgs.shape[1:])
-        return [imgs[i] for i in range(s)]
+        # decode saved steps as stacked batches, chunked so many saved
+        # steps × large batch can't blow activation memory
+        sel = np.asarray(preds[jnp.asarray(steps)])  # (S, B, L)
+        flat = sel.reshape(-1, self.num_tokens)
+        chunk = max(64 // max(b, 1), 1) * b
+        decoded = [np.asarray(self.vqgan.decode_from_indice(flat[i:i + chunk]))
+                   for i in range(0, flat.shape[0], chunk)]
+        imgs = np.concatenate(decoded, axis=0)
+        imgs = imgs.reshape(len(steps), b, *imgs.shape[1:])
+        return [jnp.asarray(imgs[i]) for i in range(len(steps))]
 
     def _rect_latent_mask(self, coord, inside):
         """(reference generate.py:204-210): latent-grid mask from pixel rect
