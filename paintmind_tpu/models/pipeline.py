@@ -424,16 +424,18 @@ class Pipeline:
             steps = [timesteps - 1]
         else:  # parity: every save_interval-th step (generate.py:195-196)
             steps = list(range(0, timesteps, save_interval))
-        # decode saved steps as stacked batches, chunked so many saved
-        # steps × large batch can't blow activation memory
-        sel = np.asarray(preds[jnp.asarray(steps)])  # (S, B, L)
-        flat = sel.reshape(-1, self.num_tokens)
-        chunk = max(64 // max(b, 1), 1) * b
-        decoded = [np.asarray(self.vqgan.decode_from_indice(flat[i:i + chunk]))
-                   for i in range(0, flat.shape[0], chunk)]
-        imgs = np.concatenate(decoded, axis=0)
-        imgs = imgs.reshape(len(steps), b, *imgs.shape[1:])
-        return [jnp.asarray(imgs[i]) for i in range(len(steps))]
+        # decode saved steps as stacked batches — device-side throughout
+        # (host round-trips stall the dispatch pipeline on remote runtimes),
+        # chunked per saved step when S·B is large so decoder activations
+        # stay bounded
+        sel = preds[jnp.asarray(steps)]  # (S, B, L), on device
+        s = len(steps)
+        if s * b <= 128:
+            imgs = self.vqgan.decode_from_indice(
+                sel.reshape(s * b, self.num_tokens))
+            imgs = imgs.reshape(s, b, *imgs.shape[1:])
+            return [imgs[i] for i in range(s)]
+        return [self.vqgan.decode_from_indice(sel[i]) for i in range(s)]
 
     def _rect_latent_mask(self, coord, inside):
         """(reference generate.py:204-210): latent-grid mask from pixel rect
