@@ -28,7 +28,7 @@ def create_model(arch='pipeline', version='paintmindv1', pretrained=True,
         from .models.pipeline import Pipeline
         model = Pipeline(config, stage1_pretrained=False, **kwargs)
     else:
-        raise ValueError(f'failed to load arch named {arch}')
+        raise ValueError(f"unknown arch {arch!r}; expected 'vqgan' or 'pipeline'")
 
     if pretrained:
         if checkpoint_path is None:

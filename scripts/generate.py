@@ -30,8 +30,10 @@ def main():
     import paintmind_tpu as pm
     from paintmind_tpu.utils.image_grid import save_image_grid
 
+    # pretrained=True always: the factory prefers an explicit checkpoint_path
+    # over the hub download, so --checkpoint routes to the local file.
     model = pm.create_model(arch='pipeline', version=args.version,
-                            pretrained=args.checkpoint is None,
+                            pretrained=True,
                             checkpoint_path=args.checkpoint)
     key = jax.random.PRNGKey(args.seed)
 
