@@ -49,6 +49,20 @@ def _dtype_of(mixed_precision):
     return None
 
 
+def _micro_schedule(base, grad_accum):
+    """Rescale an LR schedule from optimizer-update counts to the
+    reference's microbatch timeline.
+
+    The reference steps its scheduler once per DataLoader iteration
+    (trainer.py:200,224,397) while the optimizer updates every
+    ``grad_accum`` iterations; optax sees one count per *update*, so the
+    schedule must advance ``grad_accum`` microbatch ticks per update to
+    keep the warmup/decay timeline identical."""
+    if grad_accum == 1:
+        return base
+    return lambda count: base(count * grad_accum)
+
+
 def masked_p_generator():
     """arccos-distributed mask ratio (reference trainer.py:286-288)."""
     return float(np.cos(0.5 * np.pi * np.random.rand()))
@@ -128,20 +142,28 @@ class VQGANTrainer(_TrainerBase):
         self.train_ds, self.valid_ds = random_split(
             dataset, [train_size, valid_size], seed=seed)
         print(f'train dataset size: {train_size}, valid dataset size: {valid_size}')
-        self.train_dl = DataLoader(self.train_ds, batch_size, shuffle=True,
-                                   seed=seed, num_workers=num_workers)
+        # One host step = one optimizer update over grad_accum microbatches
+        # of `batch_size` each — same effective batch (batch_size·accum) as
+        # the reference's accumulate() over grad_accum DataLoader batches.
+        self.train_dl = DataLoader(self.train_ds,
+                                   batch_size * grad_accum_steps,
+                                   shuffle=True, seed=seed,
+                                   num_workers=num_workers)
         self.valid_dl = DataLoader(self.valid_ds, min(batch_size, valid_size),
                                    shuffle=False, num_workers=num_workers)
 
-        iters = max(len(self.train_dl), 1)
+        # scheduler horizon + self.steps stay in reference microbatch units
+        iters = max(len(self.train_dl), 1) * grad_accum_steps
         self.g_sched = optim.lr_scheduler.build_scheduler(
             num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
             decay_steps)
         self.d_sched = optim.lr_scheduler.build_scheduler(
             num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
             decay_steps)
-        g_tx = optim.adam(self.g_sched, (0.9, 0.99), max_grad_norm)
-        d_tx = optim.adam(self.d_sched, (0.9, 0.99), max_grad_norm)
+        g_tx = optim.adam(_micro_schedule(self.g_sched, grad_accum_steps),
+                          (0.9, 0.99), max_grad_norm)
+        d_tx = optim.adam(_micro_schedule(self.d_sched, grad_accum_steps),
+                          (0.9, 0.99), max_grad_norm)
 
         self.lpips_params = self._load_perceptual(perceptual_weights)
 
@@ -192,9 +214,12 @@ class VQGANTrainer(_TrainerBase):
                 imgs = _first_images(batch)
                 imgs = shard_batch(imgs, self.mesh)
                 self.state, metrics = self._step(self.state, imgs)
-                self.steps += 1
+                # self.steps counts reference microbatch iterations; one host
+                # step consumes grad_accum of them.
+                prev = self.steps
+                self.steps += self.grad_accum
 
-                if self.steps % self.log_every == 0:
+                if self.steps // self.log_every > prev // self.log_every:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(m['loss']):  # failure detection (ext.)
                         raise FloatingPointError(
@@ -212,9 +237,9 @@ class VQGANTrainer(_TrainerBase):
                         'd_lr': m['d lr'],
                     }, self.steps)
 
-                if not (self.steps % self.save_every):
+                if self.steps // self.save_every > prev // self.save_every:
                     self.save()
-                if not (self.steps % self.samp_every):
+                if self.steps // self.samp_every > prev // self.samp_every:
                     self.evaluate()
         writer.close()
         self._sync_model()
@@ -233,8 +258,10 @@ class VQGANTrainer(_TrainerBase):
         return self._save_state(f'vit_vq_state_{self.steps}')
 
     def resume(self, path):
+        """Resume assumes the same grad_accum_steps as the saving run:
+        state['step'] counts optimizer updates, self.steps microbatches."""
         self._restore_state(path)
-        self.steps = int(self.state['step'])
+        self.steps = int(self.state['step']) * self.grad_accum
         self._sync_model()
         return self
 
@@ -284,27 +311,34 @@ class PaintMindTrainer(_TrainerBase):
         self.cfg_p = cfg_p
         self.log_dir = log_dir
         self.log_every = log_every
+        self.grad_accum = grad_accum_steps
         self._setup_dirs(result_folder)
         self._text_embedder = text_embedder
 
         train_size = len(dataset) - valid_size
         self.train_ds, self.valid_ds = random_split(
             dataset, [train_size, valid_size], seed=seed)
-        self.train_dl = DataLoader(self.train_ds, batch_size, shuffle=True,
-                                   seed=seed, num_workers=num_workers)
+        # batch_size·accum images per host step → one update sees the same
+        # effective batch as the reference's accumulate() recipe.
+        self.train_dl = DataLoader(self.train_ds,
+                                   batch_size * grad_accum_steps,
+                                   shuffle=True, seed=seed,
+                                   num_workers=num_workers)
         self.valid_dl = DataLoader(self.valid_ds, 6, shuffle=False,
                                    num_workers=num_workers)
 
-        iters = max(len(self.train_dl), 1)
+        # microbatch-unit horizon; see _micro_schedule
+        iters = max(len(self.train_dl), 1) * grad_accum_steps
         self.scheduler = optim.lr_scheduler.build_scheduler(
             num_epoch, iters, lr, lr_min, warmup_steps, warmup_lr_init,
             decay_steps)
+        tx_sched = _micro_schedule(self.scheduler, grad_accum_steps)
         if optim_name == 'lion':
-            tx = optim.lion(self.scheduler, (0.9, 0.99),
+            tx = optim.lion(tx_sched, (0.9, 0.99),
                             weight_decay=weight_decay,
                             max_grad_norm=max_grad_norm)
         elif optim_name == 'adamw':
-            tx = optim.adamw(self.scheduler, (0.9, 0.96),
+            tx = optim.adamw(tx_sched, (0.9, 0.96),
                              weight_decay=weight_decay,
                              max_grad_norm=max_grad_norm)
         else:
@@ -354,9 +388,10 @@ class PaintMindTrainer(_TrainerBase):
                 mask_ratio = jnp.asarray(masked_p_generator(), jnp.float32)
                 self.state, metrics = self._step(self.state, imgs, context,
                                                  mask_ratio)
-                self.steps += 1
+                prev = self.steps
+                self.steps += self.grad_accum
 
-                if self.steps % self.log_every == 0:
+                if self.steps // self.log_every > prev // self.log_every:
                     m = {'loss': float(metrics['loss']),
                          'lr': float(self.scheduler(self.steps))}
                     if not np.isfinite(m['loss']):  # failure detection (ext.)
@@ -366,9 +401,9 @@ class PaintMindTrainer(_TrainerBase):
                     self.log.update(m)
                     writer.log(m, self.steps)
 
-                if not (self.steps % self.sample_every):
+                if self.steps // self.sample_every > prev // self.sample_every:
                     self.evaluate()
-                if not (self.steps % self.save_every):
+                if self.steps // self.save_every > prev // self.save_every:
                     self.save()
         writer.close()
         self._sync_model()
@@ -386,8 +421,10 @@ class PaintMindTrainer(_TrainerBase):
         return self._save_state(f'paintmind_state_{self.steps}')
 
     def resume(self, path):
+        """Resume assumes the same grad_accum_steps as the saving run:
+        state['step'] counts optimizer updates, self.steps microbatches."""
         self._restore_state(path)
-        self.steps = int(self.state['step'])
+        self.steps = int(self.state['step']) * self.grad_accum
         self._sync_model()
         return self
 

@@ -144,6 +144,31 @@ SMALL_VQ = {
 pmc.register_version('test-vqgan-tr', SMALL_VQ)
 
 
+def test_grad_accum_matches_reference_recipe(tmp_path):
+    """ADVICE r1: one optimizer update must consume batch_size·grad_accum
+    images (reference accumulate() semantics) and the LR schedule must
+    advance per microbatch, not per update."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer, _micro_schedule
+
+    trainer = VQGANTrainer(
+        VQModel(SMALL_VQ, seed=0), _SynthDataset(48, 32), num_epoch=1,
+        valid_size=8, batch_size=4, grad_accum_steps=3, num_workers=1,
+        mixed_precision='no', save_every=100, sample_every=100,
+        result_folder=str(tmp_path), log_dir=str(tmp_path / 'log'),
+        perceptual_weights='none', disc_config=DCFG)
+    # host step loads 4·3 images; jitted step splits into 3 microbatches
+    assert trainer.train_dl.batch_size == 12
+    # the tx-side schedule ticks 3 microbatch steps per optimizer update
+    base = build_schedule(lr=1e-3, lr_min=1e-4, warmup_steps=9,
+                          warmup_lr_init=1e-6, decay_steps=100)
+    wrapped = _micro_schedule(base, 3)
+    for update in range(5):
+        assert float(wrapped(update)) == pytest.approx(
+            float(base(update * 3)), rel=1e-6)
+    assert _micro_schedule(base, 1) is base
+
+
 def test_vqgan_trainer_end_to_end(tmp_path):
     from paintmind_tpu.models.vqmodel import VQModel
     from paintmind_tpu.utils.trainer import VQGANTrainer
@@ -158,7 +183,8 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         perceptual_weights='none', disc_config=DCFG)
     p0 = jax.tree_util.tree_map(np.asarray, model.params)
     trainer.train()
-    assert trainer.steps == 2  # 40//16 = 2 batches (drop_last)
+    # 40 train imgs / (16·accum2 per host step) = 1 update = 2 microbatches
+    assert trainer.steps == 2
     # params changed; metrics logged; grids + checkpoints written
     changed = any(not np.array_equal(a, np.asarray(b))
                   for a, b in zip(jax.tree_util.tree_leaves(p0),
@@ -174,7 +200,8 @@ def test_vqgan_trainer_end_to_end(tmp_path):
     ckpt = trainer.save()
     trainer2 = VQGANTrainer(
         VQModel(SMALL_VQ, seed=5), ds, num_epoch=1, valid_size=8,
-        batch_size=16, num_workers=2, mixed_precision='no',
+        batch_size=16, num_workers=2, grad_accum_steps=2,  # same recipe
+        mixed_precision='no',
         result_folder=str(tmp_path / 'r2'), log_dir=str(tmp_path / 'log2'),
         perceptual_weights='none', disc_config=DCFG)
     trainer2.resume(ckpt)
@@ -209,7 +236,8 @@ def test_paintmind_trainer_end_to_end(tmp_path):
     vq0 = jax.tree_util.tree_map(np.asarray, pipe.params['vqgan'])
     tr0 = jax.tree_util.tree_map(np.asarray, pipe.params['transformer'])
     trainer.train()
-    assert trainer.steps == 10  # 2 epochs × (40//8)
+    # 2 epochs × (40 // (8·accum2) = 2 host steps) × 2 microbatches each
+    assert trainer.steps == 8
     # transformer trained, vqgan untouched (frozen)
     tr_changed = any(not np.array_equal(a, np.asarray(b)) for a, b in zip(
         jax.tree_util.tree_leaves(tr0),
