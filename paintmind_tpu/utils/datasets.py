@@ -24,70 +24,72 @@ from PIL import Image
 
 
 def unzip_file(zip_src, tgt_dir):
-    """(reference datasets.py:11-17)."""
+    """Extract a zip archive (reference datasets.py:11-17 contract)."""
     if not zipfile.is_zipfile(zip_src):
-        raise RuntimeError('This is not zip file.')
-    with zipfile.ZipFile(zip_src, 'r') as fz:
-        for file in fz.namelist():
-            fz.extract(file, tgt_dir)
+        raise RuntimeError(f'{zip_src} is not a zip archive')
+    with zipfile.ZipFile(zip_src) as zf:
+        zf.extractall(tgt_dir)
 
 
 def _open_rgb(path):
     return Image.open(path).convert('RGB')
 
 
+def _laion_columns(metadata_path, folder_path, fid, key, caption_cols):
+    """Vectorized parquet → (paths (N,), captions (N, C)) numpy columns.
+
+    One pass over the metadata at construction instead of per-item pandas
+    lookups; image layout is ``<folder_path>/<fid>/<key>.jpg`` (reference
+    datasets.py:20-42)."""
+    import pandas as pd
+    meta = pd.read_parquet(metadata_path,
+                           columns=[fid, key, *caption_cols])
+    paths = (folder_path + os.sep + meta[fid].astype(str)
+             + os.sep + meta[key].astype(str) + '.jpg').to_numpy()
+    captions = np.stack([meta[c].astype(str).to_numpy()
+                         for c in caption_cols], axis=1)
+    return paths, captions
+
+
 class Laion:
-    """(reference datasets.py:20-42): parquet metadata + <folder>/<key>.jpg."""
+    """LAION shard: parquet metadata + image tree (reference
+    datasets.py:20-42 capability).  Metadata is materialized into flat
+    numpy columns once, so workers never touch pandas."""
 
     def __init__(self, metadata_path, folder_path, fid='folder', key='key',
                  caption_col='caption', transform=None):
-        import pandas as pd
-        self.df = pd.read_parquet(metadata_path)
-        self.fpath = folder_path
-        self.fid, self.key = fid, key
-        self.caption_col = caption_col
+        self._paths, self._captions = _laion_columns(
+            metadata_path, folder_path, fid, key, [caption_col])
         self.transform = transform
 
+    def __len__(self):
+        return self._paths.shape[0]
+
     def __getitem__(self, idx):
-        fid = self.df[self.fid][idx]
-        key = self.df[self.key][idx]
-        img = _open_rgb(f'{self.fpath}/{fid}/{key}.jpg')
-        caption = self.df[self.caption_col][idx]
+        img = _open_rgb(self._paths[idx])
         if self.transform is not None:
             img = self.transform(img)
-        return img, caption
-
-    def __len__(self):
-        return len(self.df)
+        return img, str(self._captions[idx, 0])
 
 
-class LaionV2:
-    """(reference datasets.py:45-72): multi-caption columns with sampling
-    probabilities."""
+class LaionV2(Laion):
+    """LAION shard with several caption columns, one drawn per item with
+    the given probabilities (reference datasets.py:45-72 capability)."""
 
     def __init__(self, metadata_path, folder_path, fid='folder', key='key',
                  caption_col=('caption', 'prompt'), p=(0.2, 0.8),
                  transform=None):
-        import pandas as pd
-        self.df = pd.read_parquet(metadata_path)
-        self.fpath = folder_path
-        self.fid, self.key = fid, key
-        self.caption_col = list(caption_col)
-        self.p = list(p)
+        self._paths, self._captions = _laion_columns(
+            metadata_path, folder_path, fid, key, list(caption_col))
+        self._probs = np.asarray(p, np.float64)
         self.transform = transform
 
     def __getitem__(self, idx):
-        fid = self.df[self.fid][idx]
-        key = self.df[self.key][idx]
-        img = _open_rgb(f'{self.fpath}/{fid}/{key}.jpg')
-        prompts = [self.df[col][idx] for col in self.caption_col]
-        caption = np.random.choice(prompts, p=self.p)
+        img = _open_rgb(self._paths[idx])
         if self.transform is not None:
             img = self.transform(img)
-        return img, caption
-
-    def __len__(self):
-        return len(self.df)
+        which = np.random.choice(self._probs.shape[0], p=self._probs)
+        return img, str(self._captions[idx, which])
 
 
 class ImageNet:
@@ -156,22 +158,28 @@ class Flickr30k:
 
 
 class DiffusionDB:
-    """(reference datasets.py:112-129): HF datasets poloclub/diffusiondb."""
+    """Stable-Diffusion prompt/image pairs from the HF hub (reference
+    datasets.py:112-129 capability: poloclub/diffusiondb)."""
 
-    def __init__(self, version='large_random_100k', transform=None):
-        from datasets import load_dataset
-        self.dataset = load_dataset('poloclub/diffusiondb', version)['train']
+    _HUB_ID = 'poloclub/diffusiondb'
+
+    def __init__(self, version='large_random_100k', transform=None,
+                 rows=None):
+        if rows is None:
+            from datasets import load_dataset
+            rows = load_dataset(self._HUB_ID, version, split='train')
+        self._rows = rows  # injectable for offline tests
         self.transform = transform
 
-    def __getitem__(self, idx):
-        data = self.dataset[idx]
-        image, prompt = data['image'], data['prompt']
-        if self.transform is not None:
-            image = self.transform(image)
-        return image, prompt
-
     def __len__(self):
-        return len(self.dataset)
+        return len(self._rows)
+
+    def __getitem__(self, idx):
+        row = self._rows[int(idx)]
+        img = row['image']
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, row['prompt']
 
 
 class CoCo:
@@ -205,36 +213,44 @@ class CoCo:
 
 
 class CelebA:
-    """(reference datasets.py:157-196): zip auto-extract + identity
-    annotations; returns (img, identity_id)."""
+    """CelebA faces with identity labels; returns ``(img, identity_id)``
+    (reference datasets.py:157-196 capability: zip auto-extract + the
+    ``Anno/identity_CelebA.txt`` table).  Items are a flat record list of
+    (path, identity) built at construction."""
 
     def __init__(self, root, type='identity', transform=None):
-        ann_dir = os.path.join(root, 'Anno')
-        base_dir = os.path.join(root, 'Img')
-        zfile_path = os.path.join(base_dir, 'img_align_celeba.zip')
-        self.img_dir = os.path.join(base_dir, 'img_align_celeba')
-        if os.path.exists(self.img_dir):
-            pass
-        elif os.path.exists(zfile_path):
-            unzip_file(zfile_path, base_dir)
-        else:
-            raise RuntimeError('Dataset not found.')
-        self.imgs = sorted(os.listdir(self.img_dir))
-        self.img2id = {}
-        if type == 'identity':
-            with open(os.path.join(ann_dir, 'identity_CelebA.txt')) as f:
-                for line in f:
-                    name, ident = line.strip().split(' ')
-                    self.img2id[name] = int(ident)
+        img_root = self._materialize_images(os.path.join(root, 'Img'))
+        idents = ({} if type != 'identity' else self._read_identities(
+            os.path.join(root, 'Anno', 'identity_CelebA.txt')))
+        self._records = [
+            (os.path.join(img_root, name), idents.get(name, 0))
+            for name in sorted(os.listdir(img_root))]
         self.transform = transform
 
-    def __getitem__(self, idx):
-        img_name = self.imgs[idx]
-        img = _open_rgb(os.path.join(self.img_dir, img_name))
-        ann = self.img2id.get(img_name, 0)
-        if self.transform is not None:
-            img = self.transform(img)
-        return img, np.int64(ann)
+    @staticmethod
+    def _materialize_images(base_dir):
+        target = os.path.join(base_dir, 'img_align_celeba')
+        if os.path.isdir(target):
+            return target
+        archive = target + '.zip'
+        if not os.path.exists(archive):
+            raise RuntimeError(
+                f'CelebA images not found: neither {target} nor {archive}')
+        unzip_file(archive, base_dir)
+        return target
+
+    @staticmethod
+    def _read_identities(ann_path):
+        with open(ann_path) as f:
+            pairs = (line.split() for line in f if line.strip())
+            return {name: int(ident) for name, ident in pairs}
 
     def __len__(self):
-        return len(self.imgs)
+        return len(self._records)
+
+    def __getitem__(self, idx):
+        path, ident = self._records[idx]
+        img = _open_rgb(path)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, np.int64(ident)
