@@ -42,6 +42,40 @@ def test_flash_forward_kernel(rng, n, m):
     assert float(jnp.abs(out - ref).mean()) < 1e-6
 
 
+def test_topk_keep_mask_exact_k_with_ties(rng):
+    """ADVICE r1: duplicate logits (bf16 rounding) must not let >k
+    candidates survive the fused sampler's top-k filter."""
+    from paintmind_tpu.ops.sampling import topk_keep_mask
+
+    # ties straddling the k boundary: [5, 4, 4, 4, -50...], k=3
+    row = np.full((512,), -50.0, np.float32)
+    row[:4] = [5.0, 4.0, 4.0, 4.0]
+    l = jnp.asarray(np.tile(row, (8, 1)))
+    keep = np.asarray(topk_keep_mask(l, 3))
+    assert (keep.sum(-1) == 3).all()
+    assert keep[:, :3].all() and not keep[:, 3].any()  # lowest-index ties win
+
+    # random logits — both bf16-rounded (many exact duplicates) and raw
+    # fp32 (near-equal values an epsilon scheme would mis-order): exactly
+    # k survive, the same set numpy's stable count-based top-k keeps
+    cases = [
+        jnp.asarray(rng.standard_normal((16, 512)) * 8,
+                    jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(rng.standard_normal((16, 512)) * 3, jnp.float32),
+        jnp.asarray(rng.integers(0, 4, (16, 512)), jnp.float32),  # mass ties
+    ]
+    for lb in cases:
+        for k in (1, 5, 25):
+            keep = np.asarray(topk_keep_mask(lb, k))
+            assert (keep.sum(-1) == k).all(), keep.sum(-1)
+            a = np.asarray(lb, np.float32)
+            # stable sort on (-value, index): first k = reference order
+            order = np.lexsort((np.tile(np.arange(512), (16, 1)), -a),
+                               axis=-1)
+            for r in range(16):
+                assert set(np.nonzero(keep[r])[0]) == set(order[r, :k])
+
+
 def test_flash_backward_kernel(rng):
     q = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, 77, 2, 64)), jnp.float32)

@@ -98,6 +98,15 @@ def check_fused_sampling():
     tv = 0.5 * np.abs(counts - target).sum()
     print(f'fused sampler TV distance vs top-5 softmax: {tv:.4f}')
     assert tv < 0.03, tv
+    # duplicate logits at the k boundary (the bf16 path rounds values
+    # together): tie-break must keep exactly k, lowest index first
+    row = np.full((8192,), -50.0, np.float32)
+    row[:4] = [5.0, 4.0, 4.0, 4.0]
+    tied = jnp.asarray(np.tile(row, (512, 1)))
+    tpred, _ = fused_gumbel_topk_sample(tied, jax.random.PRNGKey(3), 100.0, k=3)
+    ids = set(np.asarray(tpred).ravel().tolist())
+    print(f'tied-logits k=3 sampled support: {sorted(ids)}')
+    assert ids <= {0, 1, 2} and len(ids) == 3, ids
     print('fused_sampling OK')
 
 
