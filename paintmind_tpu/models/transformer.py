@@ -65,9 +65,13 @@ def init_cond_transformer(key, cfg: CondTransformerConfig,
 
 def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                            key=None, deterministic=True, backend=None,
-                           remat=False):
+                           remat=False, cfg_halves=False):
     """x: (B, len_seq, in_dim) latent tokens; context: (B, M, context_dim)
-    or None.  Returns (B, len_seq, num_classes) logits (fp32)."""
+    or None.  Returns (B, len_seq, num_classes) logits (fp32).
+
+    ``cfg_halves=True``: x is a [cond; uncond] 2B batch and context is (B,
+    M, context_dim) — one fused CFG pass; the uncond half's cross-attention
+    self-attends exactly as a separate ``context=None`` call would."""
     x = linear(p['token_proj'], x)
     x = x + p['pos_embed'].astype(x.dtype)
     if context is not None and 'context_proj' in p:
@@ -76,7 +80,8 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
         context = context.astype(x.dtype)
     x = stack_apply(p['layers'], x, context, heads=cfg.num_head,
                     dropout_rate=cfg.dropout, key=key,
-                    deterministic=deterministic, backend=backend, remat=remat)
+                    deterministic=deterministic, backend=backend, remat=remat,
+                    cfg_halves=cfg_halves)
     x = layernorm(p['norm'], x)
     # vocab projection in the activation dtype (fp32 accumulation inside the
     # MXU); emitting bf16 logits halves HBM traffic for the (B·L, 8192)

@@ -76,6 +76,50 @@ def _flash_ok(q, k):
     return d <= 128 and n >= 128 and m >= 16
 
 
+def attention_cfg_halves(p, x, context, *, heads, backend=None):
+    """Cross-attention for a CFG-fused batch: ``x`` is (2B, N, Dq) holding
+    [conditional; unconditional] halves, ``context`` is (B, M, Dc).
+
+    The first B rows attend to ``context``; the last B rows self-attend
+    (the ``context=None`` semantics of the trained unconditional branch,
+    reference attention.py:47).  Q and output projections run batched at
+    2B on the MXU; only the K/V projections and the attention itself split
+    into their two genuinely different shapes — identical math and FLOPs
+    to two separate passes, with the heavy matmuls at double batch.
+    Deterministic (sampling path): no dropout."""
+    b2, n, _ = x.shape
+    b = b2 // 2
+    q = linear(p['to_q'], x)
+    xu = x[b:]
+    ctx = context.astype(x.dtype)
+    k_c, v_c = linear(p['to_k'], ctx), linear(p['to_v'], ctx)
+    k_u, v_u = linear(p['to_k'], xu), linear(p['to_v'], xu)
+
+    dim_head = q.shape[-1] // heads
+    scale = dim_head ** -0.5
+    q = q.reshape(b2, n, heads, dim_head)
+    m = ctx.shape[1]
+    k_c = k_c.reshape(b, m, heads, dim_head)
+    v_c = v_c.reshape(b, m, heads, dim_head)
+    k_u = k_u.reshape(b, n, heads, dim_head)
+    v_u = v_u.reshape(b, n, heads, dim_head)
+
+    backend = backend or _BACKEND
+    if backend == 'auto':
+        backend = 'flash' if (_default_is_tpu() and _flash_ok(q, k_u)) else 'xla'
+    if backend == 'flash':
+        from ..ops.flash_attention import flash_attention
+        out_c = flash_attention(q[:b], k_c, v_c, scale=scale)
+        out_u = flash_attention(q[b:], k_u, v_u, scale=scale)
+    else:
+        out_c = _xla_attention(q[:b], k_c, v_c, scale)
+        out_u = _xla_attention(q[b:], k_u, v_u, scale)
+
+    out = jnp.concatenate([out_c, out_u], axis=0).reshape(b2, n,
+                                                          heads * dim_head)
+    return linear(p['to_out'], out)
+
+
 def attention(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
               deterministic=True, backend=None):
     """x: (B, N, Dq); context: (B, M, Dc) or None (self-attention)."""

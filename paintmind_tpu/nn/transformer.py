@@ -45,7 +45,7 @@ def init_block(key, dim, *, dim_head, mlp_dim, num_head, cross=False,
 
 
 def block_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
-                deterministic=True, backend=None):
+                deterministic=True, backend=None, cfg_halves=False):
     has_cross = 'attn2' in p
     if key is not None:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -55,9 +55,15 @@ def block_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
                       dropout_rate=dropout_rate, key=k1,
                       deterministic=deterministic, backend=backend)
     if has_cross:
-        x = x + attention(p['attn2'], layernorm(p['norm2'], x), context,
-                          heads=heads, dropout_rate=dropout_rate, key=k2,
-                          deterministic=deterministic, backend=backend)
+        if cfg_halves and context is not None:
+            # x is a [cond; uncond] 2B batch; see attention_cfg_halves
+            from .attention import attention_cfg_halves
+            x = x + attention_cfg_halves(p['attn2'], layernorm(p['norm2'], x),
+                                         context, heads=heads, backend=backend)
+        else:
+            x = x + attention(p['attn2'], layernorm(p['norm2'], x), context,
+                              heads=heads, dropout_rate=dropout_rate, key=k2,
+                              deterministic=deterministic, backend=backend)
         x = x + swiglu(p['ffnet'], layernorm(p['norm3'], x))
     else:
         x = x + swiglu(p['ffnet'], layernorm(p['norm2'], x))
@@ -76,7 +82,8 @@ def init_stack(key, depth, dim, *, dim_head, mlp_dim, num_head, cross=False,
 
 
 def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
-                deterministic=True, backend=None, remat=False, unroll=1):
+                deterministic=True, backend=None, remat=False, unroll=1,
+                cfg_halves=False):
     depth = jax.tree_util.tree_leaves(p)[0].shape[0]
     keys = jax.random.split(key, depth) if key is not None else None
 
@@ -87,7 +94,8 @@ def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
             layer_p, layer_key = layer
         y = block_apply(layer_p, carry, context, heads=heads,
                         dropout_rate=dropout_rate, key=layer_key,
-                        deterministic=deterministic, backend=backend)
+                        deterministic=deterministic, backend=backend,
+                        cfg_halves=cfg_halves)
         return y, None
 
     if remat:

@@ -69,6 +69,32 @@ def test_cond_transformer_parity(rng):
     assert _mae(out_uncond, ref_uncond) < 1e-5
 
 
+def test_cfg_fused_pass_matches_two_passes(pipe_params, rng):
+    """The single-pass CFG batch (cfg_halves) must reproduce the separate
+    cond + uncond calls exactly (same weights, same per-row math)."""
+    cfg = SMALL_PIPE
+    b, l = 2, cfg.num_tokens
+    tokens = jnp.asarray(rng.standard_normal(
+        (b, l, cfg.vqc.embed_dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, 5, 48)).astype(np.float32))
+    p = pipe_params['transformer']
+    cond = pl.cond_transformer_apply(p, tokens, ctx, cfg=cfg.tcfg,
+                                     backend='xla')
+    uncond = pl.cond_transformer_apply(p, tokens, None, cfg=cfg.tcfg,
+                                       backend='xla')
+    both = pl.cond_transformer_apply(
+        p, jnp.concatenate([tokens, tokens], axis=0), ctx, cfg=cfg.tcfg,
+        backend='xla', cfg_halves=True)
+    assert float(jnp.abs(both[:b] - cond).max()) < 1e-5
+    assert float(jnp.abs(both[b:] - uncond).max()) < 1e-5
+
+    # and through the sampling entry: guided logits combine identically
+    guided_ref = uncond + 3.0 * (cond - uncond)
+    guided = pl._transformer_logits(pipe_params, tokens, ctx, 3.0,
+                                    cfg=cfg, backend='xla')
+    assert float(jnp.abs(guided - guided_ref).max()) < 1e-4
+
+
 def test_random_masking_matches_reference_algorithm(rng):
     """Replicate the reference's argsort/gather/unshuffle construction
     (generate.py:78-108) in numpy on the same noise and compare."""
