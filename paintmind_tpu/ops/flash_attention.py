@@ -109,8 +109,31 @@ def _xla_reference(q, k, v, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention(q, k, v, scale):
+def _flash_attention(q, k, v, scale):
     return _flash_forward(q, k, v, scale)
+
+
+def flash_attention(q, k, v, scale):
+    """Public entry: shards the kernel over the active mesh when one is
+    registered (batch → 'data', heads → 'model'; see parallel.context —
+    XLA cannot partition a pallas_call and would otherwise all-gather the
+    operands and replicate the kernel on every device).  Falls back to the
+    plain call when no mesh is active or a dimension does not divide."""
+    from ..parallel.context import active_mesh
+    mesh = active_mesh()
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        dp = mesh.shape.get('data', 1)
+        mp = mesh.shape.get('model', 1)
+        b, _, h, _ = q.shape
+        if b % dp == 0 and h % mp == 0:
+            spec = P('data', None, 'model', None)
+            fn = jax.shard_map(
+                lambda q_, k_, v_: _flash_attention(q_, k_, v_, scale),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)
+            return fn(q, k, v)
+    return _flash_attention(q, k, v, scale)
 
 
 _BWD_IMPL = 'pallas'  # 'pallas' | 'xla'
@@ -227,4 +250,4 @@ def _bwd(scale, res, g):
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention.defvjp(_fwd, _bwd)

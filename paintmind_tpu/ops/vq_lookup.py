@@ -54,10 +54,31 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@jax.jit
 def fused_nearest_codes(z_norm, codebook_norm):
     """z_norm: (..., D) l2-normalized queries; codebook_norm: (C, D).
-    Returns int32 indices of shape z_norm.shape[:-1]."""
+    Returns int32 indices of shape z_norm.shape[:-1].
+
+    Under an active mesh (parallel.context) the kernel is shard_mapped with
+    the query batch on the 'data' axis and the codebook replicated — XLA
+    cannot partition a pallas_call and would otherwise all-gather the
+    queries to every device."""
+    from ..parallel.context import active_mesh
+    mesh = active_mesh()
+    if mesh is not None and z_norm.ndim >= 2:
+        from jax.sharding import PartitionSpec as P
+        dp = mesh.shape.get('data', 1)
+        if dp > 1 and z_norm.shape[0] % dp == 0:
+            spec_z = P('data', *([None] * (z_norm.ndim - 1)))
+            spec_o = P('data', *([None] * (z_norm.ndim - 2)))
+            fn = jax.shard_map(_fused_nearest_codes, mesh=mesh,
+                               in_specs=(spec_z, P(None, None)),
+                               out_specs=spec_o, check_vma=False)
+            return fn(z_norm, codebook_norm)
+    return _fused_nearest_codes(z_norm, codebook_norm)
+
+
+@jax.jit
+def _fused_nearest_codes(z_norm, codebook_norm):
     shape = z_norm.shape[:-1]
     d = z_norm.shape[-1]
     c = codebook_norm.shape[0]
