@@ -77,3 +77,40 @@ def fid(real_features, fake_features):
     mu1, s1 = activation_statistics(real_features)
     mu2, s2 = activation_statistics(fake_features)
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+def inception_extractor(weights='auto'):
+    """Returns (features_fn images→(N,2048), variant_str).
+
+    weights: 'auto' = converted InceptionV3 npz from assets/ when present,
+    else the fixed-seed random-feature substitute ('rfid-rand', deterministic
+    and internally consistent but NOT literature-comparable — see
+    models/inception.py); a path loads that npz."""
+    import os
+
+    from ..models import inception as inc
+    default = os.path.join(os.path.dirname(__file__), '..', 'assets',
+                           'inception_v3.npz')
+    if weights == 'auto':
+        weights = default if os.path.exists(default) else None
+    if weights is None:
+        params, variant = inc.init_inception(), 'rfid-rand'
+    else:
+        params, variant = inc.load_inception(weights), 'rfid-inception'
+
+    def features(images, batch=32):
+        imgs = np.asarray(images, np.float32)
+        out = [np.asarray(inc.pool3_features(params, imgs[i:i + batch]))
+               for i in range(0, imgs.shape[0], batch)]
+        return np.concatenate(out, axis=0)
+
+    return features, variant
+
+
+def rfid(real_images, fake_images, weights='auto', batch=32):
+    """Reconstruction FID between image sets in [-1, 1] NHWC.
+    Returns (value, variant_str) — variant is 'rfid-inception' with real
+    converted weights, 'rfid-rand' with the documented substitute."""
+    features, variant = inception_extractor(weights)
+    return fid(features(real_images, batch),
+               features(fake_images, batch)), variant

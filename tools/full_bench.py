@@ -139,6 +139,19 @@ def main():
     report['6_paintmind_train_step'] = {'latency_s': dt,
                                         'images_per_sec': 16 / dt}
 
+    # -- quality: rec PSNR + rFID on a fixed image set -------------------
+    # (the second half of the driver metric "rec PSNR/rFID"; with no
+    # pretrained InceptionV3 weights in this environment the extractor is
+    # the documented fixed-seed substitute and the variant says so)
+    from paintmind_tpu.utils.metrics import psnr, rfid
+    real = rng.uniform(-1, 1, (64, 256, 256, 3)).astype(np.float32)
+    rec = np.concatenate([np.asarray(vq.reconstruct(real[i:i + 16]),
+                                     np.float32)
+                          for i in range(0, 64, 16)])
+    val, variant = rfid(real, rec)
+    report['7_quality'] = {'rec_psnr_db': psnr(rec, real),
+                           'rfid': val, 'rfid_variant': variant}
+
     print(json.dumps(report, indent=2))
     with open('bench_report.json', 'w') as f:
         json.dump(report, f, indent=2)
