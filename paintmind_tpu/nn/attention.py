@@ -122,7 +122,12 @@ def attention_cfg_halves(p, x, context, *, heads, backend=None):
 
 def attention(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
               deterministic=True, backend=None):
-    """x: (B, N, Dq); context: (B, M, Dc) or None (self-attention)."""
+    """x: (B, N, Dq); context: (B, M, Dc) or None (self-attention).
+
+    Deliberately three separate q/k/v matmuls: a packed (D, 3·H·Dh)
+    projection was measured SLOWER on v5e (−5% at B=32, −8% at B=64 full
+    forward — the per-layer weight concat inside the scanned stack
+    materializes and outweighs the wider-N matmul; see BASELINE.md)."""
     b, n, _ = x.shape
     ctx = x if context is None else context
     q = linear(p['to_q'], x)
