@@ -15,6 +15,9 @@ def main():
     p.add_argument('--temperature', type=float, default=1.0)
     p.add_argument('--topk', type=int, default=5)
     p.add_argument('--guidance-scale', type=float, default=None)
+    p.add_argument('--cfg-warmup', type=float, default=0.0,
+                   help='fraction of early steps run unguided (throughput '
+                        'lever; 0 = guidance on every step)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', default='samples.png')
     p.add_argument('--mode', default='generate',
@@ -42,6 +45,7 @@ def main():
                               timesteps=args.timesteps,
                               temperature=args.temperature, topk=args.topk,
                               guidance_scale=args.guidance_scale, key=key,
+                              cfg_warmup=args.cfg_warmup,
                               num_samples=max(len(args.prompts), 1),
                               decode_steps='final')
         save_image_grid(np.asarray(imgs[-1], np.float32), args.out)

@@ -216,6 +216,37 @@ def test_generate_ids_trajectory(pipe_params):
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
 
 
+def test_cfg_warmup_schedule(pipe_params):
+    """cfg_warmup extension: warm steps run conditional-only with the same
+    per-step keys, so warmup=1.0 reproduces the unguided trajectory exactly
+    and warmup=0.5 matches it for the first half."""
+    cfg = SMALL_PIPE
+    init = jnp.full((2, cfg.num_tokens), cfg.mask_token_id, jnp.int32)
+    ctx = jnp.asarray(np.random.default_rng(1)
+                      .standard_normal((2, 5, 48)).astype(np.float32))
+    key = jax.random.PRNGKey(4)
+    _, p_cond = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                                timesteps=6, topk=3, backend='xla')
+    _, p_all_warm = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                                    timesteps=6, topk=3, guidance_scale=5.0,
+                                    cfg_warmup=1.0, backend='xla')
+    assert np.array_equal(np.asarray(p_cond), np.asarray(p_all_warm))
+
+    _, p_half = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                                timesteps=6, topk=3, guidance_scale=5.0,
+                                cfg_warmup=0.5, backend='xla')
+    assert p_half.shape == (6, 2, cfg.num_tokens)
+    assert np.array_equal(np.asarray(p_cond[:3]), np.asarray(p_half[:3]))
+    # warmup=0 is exactly the always-guided path
+    _, g1 = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                            timesteps=6, topk=3, guidance_scale=5.0,
+                            backend='xla')
+    _, g2 = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                            timesteps=6, topk=3, guidance_scale=5.0,
+                            cfg_warmup=0.0, backend='xla')
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+
 def test_pipeline_class_end_to_end(rng):
     from paintmind_tpu.models.pipeline import Pipeline
     pipe = Pipeline(SMALL_PIPE, stage1_pretrained=False, text_encoder=None)
