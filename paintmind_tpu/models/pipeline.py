@@ -193,13 +193,14 @@ def _topk_filter(logits, k):
 
 
 def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
-                        backend, dtype=None):
+                        backend, dtype=None, act_sharding=None):
     if dtype is not None:
         tokens = tokens.astype(dtype)
         context = context.astype(dtype) if context is not None else None
     if guidance_scale is None or context is None:
         return cond_transformer_apply(params['transformer'], tokens, context,
-                                      cfg=cfg.tcfg, backend=backend)
+                                      cfg=cfg.tcfg, backend=backend,
+                                      act_sharding=act_sharding)
     b = tokens.shape[0]
     if b <= 8:
         # fused CFG: one 2B pass — heavy matmuls batch across both branches,
@@ -210,19 +211,22 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         # hence the batch-size gate.
         both = cond_transformer_apply(
             params['transformer'], jnp.concatenate([tokens, tokens], axis=0),
-            context, cfg=cfg.tcfg, backend=backend, cfg_halves=True)
+            context, cfg=cfg.tcfg, backend=backend, cfg_halves=True,
+            act_sharding=act_sharding)
         cond, uncond = both[:b], both[b:]
     else:
         cond = cond_transformer_apply(params['transformer'], tokens, context,
-                                      cfg=cfg.tcfg, backend=backend)
+                                      cfg=cfg.tcfg, backend=backend,
+                                      act_sharding=act_sharding)
         uncond = cond_transformer_apply(params['transformer'], tokens, None,
-                                        cfg=cfg.tcfg, backend=backend)
+                                        cfg=cfg.tcfg, backend=backend,
+                                        act_sharding=act_sharding)
     return uncond + guidance_scale * (cond - uncond)
 
 
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
                 cfg: PipelineConfig, guidance_scale=None, backend=None,
-                dtype=None, sampler='auto'):
+                dtype=None, sampler='auto', act_sharding=None):
     """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
     Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
     the re-mask uses a full static sort + rank threshold so the whole loop
@@ -235,7 +239,8 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
     b, l = ids.shape
     tokens = ids_to_tokens(params, ids, cfg)
     logits = _transformer_logits(params, tokens, context, guidance_scale,
-                                 cfg=cfg, backend=backend, dtype=dtype)
+                                 cfg=cfg, backend=backend, dtype=dtype,
+                                 act_sharding=act_sharding)
     if sampler == 'auto':
         sampler = 'fused' if jax.default_backend() == 'tpu' else 'exact'
     is_mask = ids == cfg.mask_token_id
@@ -276,10 +281,11 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 @functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
                                              'guidance_scale', 'backend',
                                              'dtype', 'sampler',
-                                             'cfg_warmup'))
+                                             'cfg_warmup', 'act_sharding'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
-                 backend=None, dtype=None, sampler='auto', cfg_warmup=0.0):
+                 backend=None, dtype=None, sampler='auto', cfg_warmup=0.0,
+                 act_sharding=None):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L)).
 
@@ -304,7 +310,7 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                 params, ids, step_key, context=context, n_masked=n_m,
                 temperature=temp, topk=topk, cfg=cfg,
                 guidance_scale=scale, backend=backend, dtype=dtype,
-                sampler=sampler)
+                sampler=sampler, act_sharding=act_sharding)
             return ids_next, pred
         return body
 

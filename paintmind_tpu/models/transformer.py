@@ -65,7 +65,7 @@ def init_cond_transformer(key, cfg: CondTransformerConfig,
 
 def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                            key=None, deterministic=True, backend=None,
-                           remat=False, cfg_halves=False):
+                           remat=False, cfg_halves=False, act_sharding=None):
     """x: (B, len_seq, in_dim) latent tokens; context: (B, M, context_dim)
     or None.  Returns (B, len_seq, num_classes) logits (fp32).
 
@@ -81,7 +81,7 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
     x = stack_apply(p['layers'], x, context, heads=cfg.num_head,
                     dropout_rate=cfg.dropout, key=key,
                     deterministic=deterministic, backend=backend, remat=remat,
-                    cfg_halves=cfg_halves)
+                    cfg_halves=cfg_halves, act_sharding=act_sharding)
     x = layernorm(p['norm'], x)
     # vocab projection in the activation dtype (fp32 accumulation inside the
     # MXU); emitting bf16 logits halves HBM traffic for the (B·L, 8192)

@@ -83,7 +83,12 @@ def init_stack(key, depth, dim, *, dim_head, mlp_dim, num_head, cross=False,
 
 def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
                 deterministic=True, backend=None, remat=False, unroll=1,
-                cfg_halves=False):
+                cfg_halves=False, act_sharding=None):
+    """``act_sharding`` (optional NamedSharding for the (B, N, D) hidden
+    state): constrains the scan carry between blocks — e.g. sequence
+    parallelism, sharding N over the 'model' axis for long sequences
+    (512² → 4096 tokens); XLA inserts the all-gather/reduce-scatter
+    collectives around the attention/matmul ops that need other layouts."""
     depth = jax.tree_util.tree_leaves(p)[0].shape[0]
     keys = jax.random.split(key, depth) if key is not None else None
 
@@ -96,6 +101,8 @@ def stack_apply(p, x, context=None, *, heads, dropout_rate=0.0, key=None,
                         dropout_rate=dropout_rate, key=layer_key,
                         deterministic=deterministic, backend=backend,
                         cfg_halves=cfg_halves)
+        if act_sharding is not None:
+            y = jax.lax.with_sharding_constraint(y, act_sharding)
         return y, None
 
     if remat:

@@ -44,6 +44,15 @@ def replicate_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
+def sequence_sharding(mesh):
+    """(B, N, D) activation sharding for sequence parallelism: batch on
+    'data', sequence on 'model' — pass as ``act_sharding`` to the
+    transformer applies for long sequences (512² → 4096 tokens), XLA
+    inserting the collectives around attention/matmuls that need other
+    layouts."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+
 def shard_batch(batch, mesh):
     """Host batch → device array sharded along the data axis (leading dim)."""
     return jax.tree_util.tree_map(

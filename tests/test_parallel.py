@@ -75,6 +75,40 @@ def test_vqgan_forward_tp_matches_replicated(rng):
 
 
 @needs_8
+def test_sequence_parallel_logits_match_replicated(rng):
+    """SP: hidden state sharded (batch→data, sequence→model) between
+    blocks via act_sharding; XLA inserts the collectives. Numerics must
+    equal the replicated run."""
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=2)
+    params = pl.init_pipeline(jax.random.PRNGKey(3), PIPE)
+    x = jnp.asarray(rng.standard_normal((4, 16, 8)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((4, 5, 48)).astype(np.float32))
+    ref = st2.cond_transformer_apply(params['transformer'], x, ctx,
+                                     cfg=PIPE.tcfg, backend='xla')
+
+    spec = pmesh.cond_transformer_param_spec(params['transformer'])
+    sharded = pmesh.shard_params(params['transformer'], mesh, spec)
+    xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    act = pmesh.sequence_sharding(mesh)
+    out = jax.jit(lambda p, a, c: st2.cond_transformer_apply(
+        p, a, c, cfg=PIPE.tcfg, backend='xla', act_sharding=act))(
+            sharded, xs, ctx)
+    assert _mae(out, ref) < 1e-5
+
+    # and through the whole sampler loop
+    init = jnp.full((4, PIPE.num_tokens), PIPE.mask_token_id, jnp.int32)
+    init_s = jax.device_put(init, NamedSharding(mesh, P('data')))
+    _, p_ref = pl.generate_ids(params, jax.random.PRNGKey(0), init, ctx,
+                               cfg=PIPE, timesteps=4, topk=3, backend='xla')
+    _, p_sp = pl.generate_ids(
+        pmesh.shard_params(params, mesh, pmesh.pipeline_param_spec(params)),
+        jax.random.PRNGKey(0), init_s,
+        jax.device_put(ctx, NamedSharding(mesh, P('data'))),
+        cfg=PIPE, timesteps=4, topk=3, backend='xla', act_sharding=act)
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_sp))
+
+
+@needs_8
 def test_dp_train_step_matches_single_device(rng):
     """Gradient all-reduce through sharded jit == single-device step."""
     from paintmind_tpu import optim
