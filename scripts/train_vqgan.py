@@ -26,6 +26,9 @@ def main():
     p.add_argument('--sample-every', type=int, default=1000)
     p.add_argument('--resume', default=None)
     p.add_argument('--num-workers', type=int, default=8)
+    p.add_argument('--perceptual', default='auto',
+                   help="LPIPS weights: 'auto' (converted npz; errors if "
+                        "absent), a path, 'random', or 'none'")
     args = p.parse_args()
 
     import paintmind_tpu as pm
@@ -67,7 +70,8 @@ def main():
         batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
         mixed_precision=args.mixed_precision, save_every=args.save_every,
         sample_every=args.sample_every, result_folder=args.result_folder,
-        log_dir=args.log_dir, num_workers=args.num_workers)
+        log_dir=args.log_dir, num_workers=args.num_workers,
+        perceptual_weights=args.perceptual)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()
