@@ -108,10 +108,16 @@ vit_s_vqgan_512_config = {
     'dec': {**vit_s_vqgan_config['dec'], 'image_size': 512},
 }
 
+pipeline_v1_512_config = {
+    **pipeline_v1_config,
+    'stage1': 'vit-s-vqgan-512',
+}
+
 ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
     'vit-s-vqgan-512': vit_s_vqgan_512_config,
     'paintmindv1': pipeline_v1_config,
+    'paintmindv1-512': pipeline_v1_512_config,
 }
 
 

@@ -117,6 +117,29 @@ def pipeline_param_spec(params):
     }
 
 
+def zero_opt_spec(opt_state, mesh, min_size=16384):
+    """ZeRO-1-style PartitionSpec tree for optimizer state: each large leaf
+    sharded along its first data-axis-divisible dimension over 'data'
+    (small leaves — step counters, scalars, norm params — replicated).
+    Params stay replicated; XLA inserts the reduce-scatter/all-gather pair
+    around the sharded elementwise update.  With Lion on the 211M-param
+    stage-2 transformer this cuts per-chip moment memory by the data-axis
+    size (844 MB → 106 MB on 8 chips)."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+
+    def spec(x):
+        shape = np.shape(x)
+        if np.size(x) >= min_size:
+            for axis, dim in enumerate(shape):
+                if dim % dp == 0 and dim >= dp:
+                    parts = [None] * len(shape)
+                    parts[axis] = DATA_AXIS
+                    return P(*parts)
+        return P()
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
 def shard_params(params, mesh, spec=None):
     """Place params on the mesh.  spec=None → fully replicated (pure DP)."""
     if spec is None:

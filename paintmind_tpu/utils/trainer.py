@@ -38,6 +38,7 @@ from ..models import discriminator as disc_mod
 from ..models import lpips as lpips_mod
 from ..parallel import make_mesh, replicate_sharding, set_active_mesh, \
     shard_batch
+from ..parallel.mesh import named_sharding_tree, zero_opt_spec
 from ..train import steps as train_steps
 from .data import DataLoader, random_split
 from .image_grid import save_image_grid
@@ -82,7 +83,22 @@ class _TrainerBase:
         os.makedirs(self.model_saved_dir, exist_ok=True)
         os.makedirs(self.image_saved_dir, exist_ok=True)
 
+    def _place_state(self, state, opt_keys, zero_sharding):
+        """Replicate the train state across the mesh; with
+        ``zero_sharding`` the optimizer-state entries are instead sharded
+        over the data axis (ZeRO-1; parallel.mesh.zero_opt_spec)."""
+        import jax.tree_util as jtu
+        from jax.sharding import PartitionSpec as P
+        if not zero_sharding:
+            return jax.device_put(state, replicate_sharding(self.mesh))
+        spec = {k: (zero_opt_spec(state[k], self.mesh) if k in opt_keys
+                    else jtu.tree_map(lambda _: P(), state[k]))
+                for k in state}
+        return jax.device_put(state, named_sharding_tree(spec, self.mesh))
+
     _ckptr = None
+    _zero = False
+    _opt_keys = ()
 
     def _checkpointer(self):
         if self._ckptr is None:
@@ -111,9 +127,9 @@ class _TrainerBase:
         ckptr.wait_until_finished()
         template = jax.tree_util.tree_map(np.asarray, self.state)
         restored = ckptr.restore(os.path.abspath(path), template)
-        self.state = jax.device_put(
+        self.state = self._place_state(
             jax.tree_util.tree_map(jnp.asarray, restored),
-            replicate_sharding(self.mesh))
+            self._opt_keys, self._zero)
         return self
 
 
@@ -127,7 +143,7 @@ class VQGANTrainer(_TrainerBase):
                  mixed_precision='bf16', save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
-                 disc_config=None, remat=False):
+                 disc_config=None, remat=False, zero_sharding=False):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -180,10 +196,12 @@ class VQGANTrainer(_TrainerBase):
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         key = jax.random.PRNGKey(seed)
-        self.state = jax.device_put(
+        self._zero = zero_sharding
+        self._opt_keys = ('g_opt', 'd_opt')
+        self.state = self._place_state(
             train_steps.init_vqgan_train_state(key, vqvae.params, g_tx, d_tx,
                                                self.dcfg),
-            replicate_sharding(self.mesh))
+            self._opt_keys, zero_sharding)
         self.steps = 0
 
         n_params = vqvae.num_params + sum(
@@ -314,7 +332,7 @@ class PaintMindTrainer(_TrainerBase):
                  max_grad_norm=1.0, save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  cfg_p=0.1, log_every=1, text_embedder=None, remat=False,
-                 **kwargs):
+                 zero_sharding=False, **kwargs):
         # reference kwarg is `optim`; shadowed by our optim module import
         optim_name = optim_name or kwargs.pop('optim', 'lion')
         del pin_memory
@@ -368,9 +386,11 @@ class PaintMindTrainer(_TrainerBase):
                              static_argnames=())
 
         key = jax.random.PRNGKey(seed)
-        self.state = jax.device_put(
+        self._zero = zero_sharding
+        self._opt_keys = ('opt',)
+        self.state = self._place_state(
             train_steps.init_pipeline_train_state(key, model.params, tx),
-            replicate_sharding(self.mesh))
+            self._opt_keys, zero_sharding)
         self.steps = 0
 
         n_train = sum(x.size for x in jax.tree_util.tree_leaves(

@@ -275,6 +275,44 @@ def test_fused_sampler_sharded_stays_sharded(rng):
 
 
 @needs_8
+def test_zero_opt_sharding_matches_replicated(rng):
+    """ZeRO-1: optimizer moments sharded over the data axis produce the
+    same update as fully replicated state."""
+    from paintmind_tpu import optim
+    from paintmind_tpu.train import steps as ts
+
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=1)
+    params = pl.init_pipeline(jax.random.PRNGKey(2), PIPE)
+    tx = ts.masked_tx(optim.lion(1e-3, max_grad_norm=1.0), params)
+    imgs = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((8, 5, 48)).astype(np.float32))
+    ratio = jnp.asarray(0.7, jnp.float32)
+    step = ts.make_pipeline_train_step(PIPE, tx, grad_accum=1)
+
+    s1 = ts.init_pipeline_train_state(jax.random.PRNGKey(3), params, tx)
+    s1, m1 = jax.jit(step)(s1, imgs, ctx, ratio)
+
+    s2 = ts.init_pipeline_train_state(jax.random.PRNGKey(3), params, tx)
+    opt_spec = pmesh.zero_opt_spec(s2['opt'], mesh, min_size=256)
+    s2['opt'] = jax.device_put(s2['opt'],
+                               pmesh.named_sharding_tree(opt_spec, mesh))
+    s2 = {k: (v if k == 'opt' else
+              jax.device_put(v, pmesh.replicate_sharding(mesh)))
+          for k, v in s2.items()}
+    # at least one moment leaf really is sharded
+    assert any(s is not None for sp in jax.tree_util.tree_leaves(
+        opt_spec, is_leaf=lambda x: isinstance(x, P)) for s in sp)
+    imgs_s = jax.device_put(imgs, NamedSharding(mesh, P('data')))
+    ctx_s = jax.device_put(ctx, NamedSharding(mesh, P('data')))
+    s2, m2 = jax.jit(step)(s2, imgs_s, ctx_s, ratio)
+
+    assert abs(float(m1['loss']) - float(m2['loss'])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1['params']['transformer']),
+                    jax.tree_util.tree_leaves(s2['params']['transformer'])):
+        assert _mae(a, b) < 1e-5
+
+
+@needs_8
 def test_shard_batch_layout():
     mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=2)
     x = np.zeros((8, 4, 4, 3), np.float32)
