@@ -27,6 +27,15 @@ def test_registry_matches_reference_hparams():
     assert (p['dim'], p['depth'], p['num_head']) == (1024, 12, 16)
 
 
+def test_512_pipeline_version():
+    from paintmind_tpu.models import pipeline as pl
+
+    cfg = pl.PipelineConfig.from_dict(ver2cfg['paintmindv1-512'])
+    assert cfg.num_tokens == 4096
+    assert cfg.image_size == 512
+    assert cfg.stage1 == 'vit-s-vqgan-512'
+
+
 def test_512_variant_shapes():
     import jax
     import jax.numpy as jnp
