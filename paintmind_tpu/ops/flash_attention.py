@@ -65,7 +65,12 @@ def _flash_forward(q, k, v, scale):
         pad = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    block_q = min(_round_up(n, 128), _BLOCK_Q)
+    # long-KV sequences: shrink the query block so the (block_q, M) fp32
+    # logits tile leaves VMEM room for pipelining — kernel microbench on
+    # v5e at M=4096: block 256 ≈ 25% faster than 512 (they tie at M≤1536;
+    # the 512px sampler end-to-end is matmul-bound so its gain is ~0)
+    block_cap = _BLOCK_Q if m_pad <= 1536 else min(_BLOCK_Q, 256)
+    block_q = min(_round_up(n, 128), block_cap)
     n_pad = _round_up(n, block_q)  # pad tail queries; sliced off below
     if n_pad != n:
         q = jnp.pad(q, [(0, 0), (0, n_pad - n), (0, 0), (0, 0)])
