@@ -193,15 +193,28 @@ def _topk_filter(logits, k):
 
 
 def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
-                        backend, dtype=None, act_sharding=None):
+                        backend, dtype=None, act_sharding=None,
+                        neg_context=None):
     if dtype is not None:
         tokens = tokens.astype(dtype)
         context = context.astype(dtype) if context is not None else None
+        neg_context = (neg_context.astype(dtype)
+                       if neg_context is not None else None)
     if guidance_scale is None or context is None:
         return cond_transformer_apply(params['transformer'], tokens, context,
                                       cfg=cfg.tcfg, backend=backend,
                                       act_sharding=act_sharding)
     b = tokens.shape[0]
+    if neg_context is not None:
+        # negative-prompt guidance (extension): the unguided branch attends
+        # to the negative caption instead of self-attending — both branches
+        # are then ordinary conditional passes, batched into one call
+        both = cond_transformer_apply(
+            params['transformer'], jnp.concatenate([tokens, tokens], axis=0),
+            jnp.concatenate([context, neg_context], axis=0), cfg=cfg.tcfg,
+            backend=backend, act_sharding=act_sharding)
+        cond, uncond = both[:b], both[b:]
+        return uncond + guidance_scale * (cond - uncond)
     if b <= 8:
         # fused CFG: one 2B pass — heavy matmuls batch across both branches,
         # cross-attention splits into its two true KV shapes (identical math
@@ -226,7 +239,8 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
 
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
                 cfg: PipelineConfig, guidance_scale=None, backend=None,
-                dtype=None, sampler='auto', act_sharding=None):
+                dtype=None, sampler='auto', act_sharding=None,
+                neg_context=None):
     """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
     Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
     the re-mask uses a full static sort + rank threshold so the whole loop
@@ -240,7 +254,8 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
     tokens = ids_to_tokens(params, ids, cfg)
     logits = _transformer_logits(params, tokens, context, guidance_scale,
                                  cfg=cfg, backend=backend, dtype=dtype,
-                                 act_sharding=act_sharding)
+                                 act_sharding=act_sharding,
+                                 neg_context=neg_context)
     if sampler == 'auto':
         sampler = 'fused' if jax.default_backend() == 'tpu' else 'exact'
     is_mask = ids == cfg.mask_token_id
@@ -285,7 +300,7 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
                  backend=None, dtype=None, sampler='auto', cfg_warmup=0.0,
-                 act_sharding=None):
+                 act_sharding=None, neg_context=None):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L)).
 
@@ -310,7 +325,8 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                 params, ids, step_key, context=context, n_masked=n_m,
                 temperature=temp, topk=topk, cfg=cfg,
                 guidance_scale=scale, backend=backend, dtype=dtype,
-                sampler=sampler, act_sharding=act_sharding)
+                sampler=sampler, act_sharding=act_sharding,
+                neg_context=neg_context)
             return ids_next, pred
         return body
 
@@ -447,11 +463,19 @@ class Pipeline:
 
     def generate(self, text=None, timesteps=18, temperature=1.0, topk=5,
                  save_interval=2, key=None, guidance_scale=None,
-                 num_samples=None, decode_steps='saved', cfg_warmup=0.0):
+                 num_samples=None, decode_steps='saved', cfg_warmup=0.0,
+                 negative_text=None):
         """(reference generate.py:183-198).  Returns a list of image
         batches — one per saved step ('saved', parity) or just the final
-        image batch ('final').  ``cfg_warmup``: see generate_ids."""
+        image batch ('final').  ``cfg_warmup``: see generate_ids.
+        ``negative_text`` (extension): caption(s) the guidance pushes away
+        from, replacing the unconditional branch."""
         context = self.embed_text(text)
+        neg_context = self.embed_text(negative_text)
+        if neg_context is not None and context is not None:
+            neg_context = jnp.broadcast_to(
+                neg_context, context.shape) if neg_context.shape[0] == 1 \
+                else neg_context
         if context is not None:
             b = context.shape[0]
         else:
@@ -462,7 +486,8 @@ class Pipeline:
             self.params, self._next_key(key), init_ids, context,
             cfg=self.config, timesteps=timesteps, temperature=temperature,
             topk=topk, guidance_scale=guidance_scale,
-            dtype=self.compute_dtype, cfg_warmup=cfg_warmup)
+            dtype=self.compute_dtype, cfg_warmup=cfg_warmup,
+            neg_context=neg_context)
         if decode_steps == 'final':
             steps = [timesteps - 1]
         else:  # parity: every save_interval-th step (generate.py:195-196)

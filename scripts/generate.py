@@ -15,6 +15,8 @@ def main():
     p.add_argument('--temperature', type=float, default=1.0)
     p.add_argument('--topk', type=int, default=5)
     p.add_argument('--guidance-scale', type=float, default=None)
+    p.add_argument('--negative', default=None,
+                   help='negative prompt (guidance pushes away from it)')
     p.add_argument('--cfg-warmup', type=float, default=0.0,
                    help='fraction of early steps run unguided (throughput '
                         'lever; 0 = guidance on every step)')
@@ -46,6 +48,8 @@ def main():
                               temperature=args.temperature, topk=args.topk,
                               guidance_scale=args.guidance_scale, key=key,
                               cfg_warmup=args.cfg_warmup,
+                              negative_text=([args.negative]
+                                             if args.negative else None),
                               num_samples=max(len(args.prompts), 1),
                               decode_steps='final')
         save_image_grid(np.asarray(imgs[-1], np.float32), args.out)

@@ -247,6 +247,34 @@ def test_cfg_warmup_schedule(pipe_params):
     assert np.array_equal(np.asarray(g1), np.asarray(g2))
 
 
+def test_negative_prompt_guidance(pipe_params, rng):
+    """negative_text extension: guided logits == neg + s·(cond − neg)."""
+    cfg = SMALL_PIPE
+    tokens = jnp.asarray(rng.standard_normal(
+        (2, cfg.num_tokens, cfg.vqc.embed_dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 5, 48)).astype(np.float32))
+    neg = jnp.asarray(rng.standard_normal((2, 5, 48)).astype(np.float32))
+    cond = pl.cond_transformer_apply(pipe_params['transformer'], tokens, ctx,
+                                     cfg=cfg.tcfg, backend='xla')
+    nlog = pl.cond_transformer_apply(pipe_params['transformer'], tokens, neg,
+                                     cfg=cfg.tcfg, backend='xla')
+    ref = nlog + 2.0 * (cond - nlog)
+    got = pl._transformer_logits(pipe_params, tokens, ctx, 2.0, cfg=cfg,
+                                 backend='xla', neg_context=neg)
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+    # through the sampler: identical neg == uncondless... neg==ctx collapses
+    # guidance to the plain conditional trajectory
+    init = jnp.full((2, cfg.num_tokens), cfg.mask_token_id, jnp.int32)
+    key = jax.random.PRNGKey(9)
+    _, p_plain = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                                 timesteps=4, topk=3, backend='xla')
+    _, p_neg = pl.generate_ids(pipe_params, key, init, ctx, cfg=cfg,
+                               timesteps=4, topk=3, guidance_scale=3.0,
+                               neg_context=ctx, backend='xla')
+    assert np.array_equal(np.asarray(p_plain), np.asarray(p_neg))
+
+
 def test_pipeline_class_end_to_end(rng):
     from paintmind_tpu.models.pipeline import Pipeline
     pipe = Pipeline(SMALL_PIPE, stage1_pretrained=False, text_encoder=None)
