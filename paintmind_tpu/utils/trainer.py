@@ -143,7 +143,8 @@ class VQGANTrainer(_TrainerBase):
                  mixed_precision='bf16', save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
-                 disc_config=None, remat=False, zero_sharding=False):
+                 disc_config=None, remat=False, zero_sharding=False,
+                 eval_rfid=False):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -154,6 +155,7 @@ class VQGANTrainer(_TrainerBase):
         self.grad_accum = grad_accum_steps
         self.log_dir = log_dir
         self.log_every = log_every
+        self.eval_rfid = eval_rfid
         self._setup_dirs(result_folder)
 
         train_size = len(dataset) - valid_size
@@ -300,7 +302,7 @@ class VQGANTrainer(_TrainerBase):
 
     def evaluate(self):
         self._sync_model()
-        all_ids, psnrs = [], []
+        all_ids, psnrs, reals, recs = [], [], [], []
         for i, batch in enumerate(self.valid_dl):
             imgs = _first_images(batch)
             z, _, ids = self.vqvae.encode(imgs)  # one encoder pass
@@ -309,6 +311,9 @@ class VQGANTrainer(_TrainerBase):
             rec = np.asarray(rec, np.float32)
             from .metrics import psnr
             psnrs.append(psnr(rec, imgs))
+            if self.eval_rfid:
+                reals.append(imgs)
+                recs.append(rec)
             pairs = np.stack([imgs, rec], axis=1).reshape(-1, *imgs.shape[1:])
             save_image_grid(pairs, os.path.join(
                 self.image_saved_dir, f'step_{self.steps}_{i}.png'))
@@ -319,6 +324,10 @@ class VQGANTrainer(_TrainerBase):
             self.log.update({'codebook usage': stats['usage'],
                              'codebook perplexity': stats['perplexity'],
                              'val psnr': float(np.mean(psnrs))})
+        if self.eval_rfid and reals:
+            from .metrics import rfid
+            val, variant = rfid(np.concatenate(reals), np.concatenate(recs))
+            self.log.update({f'val {variant}': val})
 
 
 class PaintMindTrainer(_TrainerBase):

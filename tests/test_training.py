@@ -258,6 +258,24 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_vqgan_trainer_eval_rfid(tmp_path):
+    """eval_rfid extension: validation rFID lands in the trainer log."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+    from paintmind_tpu.utils.logging import Log
+
+    trainer = VQGANTrainer(
+        VQModel(SMALL_VQ, seed=0), _SynthDataset(24, 32), num_epoch=1,
+        valid_size=8, batch_size=8, num_workers=1, mixed_precision='no',
+        save_every=100, sample_every=100, result_folder=str(tmp_path),
+        log_dir=str(tmp_path / 'log'), perceptual_weights='none',
+        disc_config=DCFG, eval_rfid=True)
+    trainer.log = Log()
+    trainer.evaluate()
+    assert 'val rfid-rand' in trainer.log.data
+    assert np.isfinite(trainer.log['val rfid-rand'])
+
+
 def test_paintmind_trainer_end_to_end(tmp_path):
     from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
     from paintmind_tpu.models import vqmodel as vm
