@@ -53,15 +53,22 @@ def _tree_scale(a, s):
     return jax.tree_util.tree_map(lambda x: x * s, a)
 
 
+def _ema_update(ema, new, decay):
+    """decay*ema + (1-decay)*new (extension; the reference has no EMA —
+    standard practice for GAN/MaskGIT inference weights)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, new)
+
+
 # ---------------------------------------------------------------------------
 # Stage-1: VQGAN adversarial step
 # ---------------------------------------------------------------------------
 
 def init_vqgan_train_state(key, vq_params, g_tx, d_tx,
-                           dcfg=disc.DiscriminatorConfig()):
+                           dcfg=disc.DiscriminatorConfig(), ema_decay=None):
     k_d, k_s = jax.random.split(key)
     d_params, d_stats = disc.init_discriminator(k_d, dcfg)
-    return {
+    state = {
         'step': jnp.zeros((), jnp.int32),
         'g_params': vq_params,
         'g_opt': g_tx.init(vq_params),
@@ -70,12 +77,15 @@ def init_vqgan_train_state(key, vq_params, g_tx, d_tx,
         'd_opt': d_tx.init(d_params),
         'key': k_s,
     }
+    if ema_decay is not None:
+        state['g_ema'] = jax.tree_util.tree_map(jnp.array, vq_params)
+    return state
 
 
 def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
                           dcfg=disc.DiscriminatorConfig(), lpips_params=None,
                           d_weight=0.1, grad_accum=1, compute_dtype=None,
-                          backend=None, remat=False):
+                          backend=None, remat=False, ema_decay=None):
     """Returns jittable ``step(state, imgs) -> (state, metrics)``;
     imgs: (grad_accum · micro, H, W, C) fp32 in [-1, 1].  ``remat=True``
     rematerializes the transformer stacks in the backward pass (memory ↔
@@ -170,6 +180,9 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
         new_state = {'step': state['step'] + 1, 'g_params': g_params,
                      'g_opt': g_opt, 'd_params': d_params,
                      'd_stats': d_stats, 'd_opt': d_opt, 'key': key}
+        if ema_decay is not None:
+            new_state['g_ema'] = _ema_update(state['g_ema'], g_params,
+                                             ema_decay)
         return new_state, metrics
 
     return step
@@ -195,17 +208,25 @@ def masked_tx(tx, params):
     return optax.masked(tx, _trainable_mask(params))
 
 
-def init_pipeline_train_state(key, params, tx):
-    return {
+def init_pipeline_train_state(key, params, tx, ema_decay=None):
+    state = {
         'step': jnp.zeros((), jnp.int32),
         'params': params,
         'opt': tx.init(params),
         'key': key,
     }
+    if ema_decay is not None:  # EMA of the trainable subtrees only
+        state['ema'] = {
+            'transformer': jax.tree_util.tree_map(jnp.array,
+                                                  params['transformer']),
+            'mask_token': jnp.array(params['mask_token']),
+        }
+    return state
 
 
 def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
-                             compute_dtype=None, backend=None, remat=False):
+                             compute_dtype=None, backend=None, remat=False,
+                             ema_decay=None):
     """Returns jittable ``step(state, imgs, context, mask_ratio)``.
     ``context`` is (B, M, t5_dim) or None — the trainer picks None for the
     whole batch with p=0.1 (CFG dropout, reference trainer.py:387-388);
@@ -251,6 +272,13 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
         params = optax.apply_updates(state['params'], updates)
         new_state = {'step': state['step'] + 1, 'params': params,
                      'opt': opt, 'key': key}
+        if ema_decay is not None:
+            new_state['ema'] = {
+                'transformer': _ema_update(state['ema']['transformer'],
+                                           params['transformer'], ema_decay),
+                'mask_token': _ema_update(state['ema']['mask_token'],
+                                          params['mask_token'], ema_decay),
+            }
         return new_state, {'loss': loss_sum / grad_accum}
 
     return step

@@ -144,7 +144,7 @@ class VQGANTrainer(_TrainerBase):
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
                  disc_config=None, remat=False, zero_sharding=False,
-                 eval_rfid=False):
+                 eval_rfid=False, ema_decay=None):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -194,7 +194,8 @@ class VQGANTrainer(_TrainerBase):
             vqvae.config, g_tx, d_tx, dcfg=self.dcfg,
             lpips_params=self.lpips_params, d_weight=d_weight,
             grad_accum=grad_accum_steps,
-            compute_dtype=_dtype_of(mixed_precision), remat=remat)
+            compute_dtype=_dtype_of(mixed_precision), remat=remat,
+            ema_decay=ema_decay)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         key = jax.random.PRNGKey(seed)
@@ -202,7 +203,8 @@ class VQGANTrainer(_TrainerBase):
         self._opt_keys = ('g_opt', 'd_opt')
         self.state = self._place_state(
             train_steps.init_vqgan_train_state(key, vqvae.params, g_tx, d_tx,
-                                               self.dcfg),
+                                               self.dcfg,
+                                               ema_decay=ema_decay),
             self._opt_keys, zero_sharding)
         self.steps = 0
 
@@ -282,7 +284,9 @@ class VQGANTrainer(_TrainerBase):
         print('Train finished!')
 
     def _sync_model(self):
-        self.vqvae.params = self.state['g_params']
+        # with EMA enabled, eval/export use the averaged weights (standard
+        # GAN practice); the raw weights keep training inside the state
+        self.vqvae.params = self.state.get('g_ema', self.state['g_params'])
 
     def save(self):
         """Full train state (orbax) + model-only npz
@@ -341,7 +345,7 @@ class PaintMindTrainer(_TrainerBase):
                  max_grad_norm=1.0, save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  cfg_p=0.1, log_every=1, text_embedder=None, remat=False,
-                 zero_sharding=False, **kwargs):
+                 zero_sharding=False, ema_decay=None, **kwargs):
         # reference kwarg is `optim`; shadowed by our optim module import
         optim_name = optim_name or kwargs.pop('optim', 'lion')
         del pin_memory
@@ -390,7 +394,8 @@ class PaintMindTrainer(_TrainerBase):
 
         step_fn = train_steps.make_pipeline_train_step(
             model.config, tx, grad_accum=grad_accum_steps,
-            compute_dtype=_dtype_of(mixed_precision), remat=remat)
+            compute_dtype=_dtype_of(mixed_precision), remat=remat,
+            ema_decay=ema_decay)
         self._step = jax.jit(step_fn, donate_argnums=(0,),
                              static_argnames=())
 
@@ -398,7 +403,8 @@ class PaintMindTrainer(_TrainerBase):
         self._zero = zero_sharding
         self._opt_keys = ('opt',)
         self.state = self._place_state(
-            train_steps.init_pipeline_train_state(key, model.params, tx),
+            train_steps.init_pipeline_train_state(key, model.params, tx,
+                                                  ema_decay=ema_decay),
             self._opt_keys, zero_sharding)
         self.steps = 0
 
@@ -456,7 +462,12 @@ class PaintMindTrainer(_TrainerBase):
         print('Train finished!')
 
     def _sync_model(self):
-        self.model.params = self.state['params']
+        params = self.state['params']
+        if 'ema' in self.state:  # averaged trainable towers for eval/export
+            params = {**params,
+                      'transformer': self.state['ema']['transformer'],
+                      'mask_token': self.state['ema']['mask_token']}
+        self.model.params = params
         self.model.vqgan.params = self.model.params['vqgan']
 
     def save(self):

@@ -258,6 +258,56 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ema_weights(tmp_path):
+    """ema_decay extension: state carries EMA weights, they trail the raw
+    weights by the decay law, and eval/export use them."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+
+    model = VQModel(SMALL_VQ, seed=0)
+    trainer = VQGANTrainer(
+        model, _SynthDataset(40, 32), num_epoch=1, valid_size=8,
+        batch_size=16, num_workers=1, mixed_precision='no', save_every=100,
+        sample_every=100, result_folder=str(tmp_path),
+        log_dir=str(tmp_path / 'log'), perceptual_weights='none',
+        disc_config=DCFG, ema_decay=0.9)
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.state['g_params'])
+    trainer.train()  # 2 host steps
+    raw = jax.tree_util.tree_map(np.asarray, trainer.state['g_params'])
+    ema = jax.tree_util.tree_map(np.asarray, trainer.state['g_ema'])
+    leaf0 = jax.tree_util.tree_leaves(p0)[0]
+    leaf_raw = jax.tree_util.tree_leaves(raw)[0]
+    leaf_ema = jax.tree_util.tree_leaves(ema)[0]
+    assert not np.array_equal(leaf_raw, leaf_ema)  # EMA trails training
+    # EMA stays between init and raw (decay-weighted history)
+    d_init = np.abs(leaf_ema - leaf0).mean()
+    d_raw = np.abs(leaf_raw - leaf0).mean()
+    assert 0 < d_init < d_raw
+    # _sync_model exposes EMA weights to the model/export
+    assert np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(model.params)[0]), leaf_ema)
+
+    # pipeline step: decay=0 keeps EMA == raw params exactly
+    from paintmind_tpu import optim as pmoptim
+    from paintmind_tpu.models import pipeline as pline, vqmodel as vmod
+    from paintmind_tpu.train import steps as ts
+    cfg = pline.PipelineConfig(
+        stage1='test-vqgan-tr', t5='t5-l', dim=32, dim_head=16, mlp_dim=64,
+        num_head=2, depth=1, dropout=0.0,
+        vqc=vmod.VQModelConfig.from_dict(SMALL_VQ), t5_dim=48)
+    params = pline.init_pipeline(jax.random.PRNGKey(0), cfg)
+    tx = ts.masked_tx(pmoptim.lion(1e-3), params)
+    st = ts.init_pipeline_train_state(jax.random.PRNGKey(1), params, tx,
+                                      ema_decay=0.0)
+    step = jax.jit(ts.make_pipeline_train_step(cfg, tx, ema_decay=0.0))
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)), jnp.float32)
+    st, _ = step(st, imgs, None, jnp.asarray(0.7, jnp.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(st['ema']['transformer']),
+                    jax.tree_util.tree_leaves(st['params']['transformer'])):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
 def test_vqgan_trainer_eval_rfid(tmp_path):
     """eval_rfid extension: validation rFID lands in the trainer log."""
     from paintmind_tpu.models.vqmodel import VQModel
