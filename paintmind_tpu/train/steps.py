@@ -34,7 +34,9 @@ import optax
 from ..models import discriminator as disc
 from ..models import lpips as lpips_mod
 from ..models import pipeline as pl
+from ..models import quantize as vqz
 from ..models import vqmodel as vm
+from ..nn.core import linear
 
 
 def _cast(x, dtype):
@@ -65,7 +67,8 @@ def _ema_update(ema, new, decay):
 # ---------------------------------------------------------------------------
 
 def init_vqgan_train_state(key, vq_params, g_tx, d_tx,
-                           dcfg=disc.DiscriminatorConfig(), ema_decay=None):
+                           dcfg=disc.DiscriminatorConfig(), ema_decay=None,
+                           codebook_restart_every=None):
     k_d, k_s = jax.random.split(key)
     d_params, d_stats = disc.init_discriminator(k_d, dcfg)
     state = {
@@ -79,17 +82,27 @@ def init_vqgan_train_state(key, vq_params, g_tx, d_tx,
     }
     if ema_decay is not None:
         state['g_ema'] = jax.tree_util.tree_map(jnp.array, vq_params)
+    if codebook_restart_every is not None:
+        n_embed = vq_params['quantize']['codebook'].shape[0]
+        state['code_usage'] = jnp.zeros((n_embed,), jnp.int32)
     return state
 
 
 def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
                           dcfg=disc.DiscriminatorConfig(), lpips_params=None,
                           d_weight=0.1, grad_accum=1, compute_dtype=None,
-                          backend=None, remat=False, ema_decay=None):
+                          backend=None, remat=False, ema_decay=None,
+                          codebook_restart_every=None):
     """Returns jittable ``step(state, imgs) -> (state, metrics)``;
     imgs: (grad_accum · micro, H, W, C) fp32 in [-1, 1].  ``remat=True``
     rematerializes the transformer stacks in the backward pass (memory ↔
-    FLOPs trade for large batches)."""
+    FLOPs trade for large batches).
+
+    ``codebook_restart_every`` (extension; the reference has no collapse
+    countermeasure): every N optimizer steps, codebook rows unused in the
+    window are re-seeded with l2-normalized encoder latents drawn from the
+    current batch — the standard dead-code restart against codebook
+    collapse (round-1 convergence run: perplexity 20 of 8192)."""
 
     def forward_rec(g_params, img):
         rec, cb_loss = vm.forward(g_params, _cast(img, compute_dtype), cfg,
@@ -107,7 +120,12 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
         return loss, d_stats
 
     def g_loss_fn(g_params, d_params, d_stats, img):
-        rec, cb_loss = forward_rec(g_params, img)
+        # encode→decode inline (== vm.forward) so the code indices surface
+        # for usage tracking
+        z, cb_loss, ids = vm.encode(g_params, _cast(img, compute_dtype), cfg,
+                                    backend=backend, remat=remat)
+        rec = vm.decode(g_params, z, cfg, backend=backend,
+                        remat=remat).astype(jnp.float32)
         rec_loss = (jnp.mean(jnp.abs(rec - img))
                     + jnp.mean(jnp.square(rec - img)))
         if lpips_params is not None:
@@ -120,7 +138,7 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
         total = cb_loss + rec_loss + per_loss + d_weight * g_loss
         metrics = {'rec loss': rec_loss, 'per loss': per_loss,
                    'g loss': g_loss, 'codebook loss': cb_loss}
-        return total, (d_stats, metrics)
+        return total, (d_stats, metrics, ids)
 
     def step(state, imgs):
         b = imgs.shape[0]
@@ -155,21 +173,26 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
         d_params = optax.apply_updates(state['d_params'], d_updates)
 
         # ---- G phase (updated D, reference ordering) -----------------
+        n_embed = cfg.n_embed
+
         def g_micro(carry, img):
-            grads_acc, d_stats_c, metrics_acc = carry
-            (loss, (d_stats_c, metrics)), grads = jax.value_and_grad(
+            grads_acc, d_stats_c, metrics_acc, counts = carry
+            (loss, (d_stats_c, metrics, ids)), grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(state['g_params'], d_params,
                                          d_stats_c, img)
             metrics = {**metrics, 'loss': loss}
             metrics_acc = _tree_add(metrics_acc, metrics)
-            return (_tree_add(grads_acc, grads), d_stats_c, metrics_acc), None
+            if codebook_restart_every is not None:
+                counts = counts.at[ids.reshape(-1)].add(1)
+            return (_tree_add(grads_acc, grads), d_stats_c, metrics_acc,
+                    counts), None
 
         zero_metrics = {'rec loss': 0.0, 'per loss': 0.0, 'g loss': 0.0,
                         'codebook loss': 0.0, 'loss': 0.0}
         zero_metrics = jax.tree_util.tree_map(jnp.asarray, zero_metrics)
-        (g_grads, d_stats, g_metrics), _ = jax.lax.scan(
+        (g_grads, d_stats, g_metrics, counts), _ = jax.lax.scan(
             g_micro, (_tree_zeros_like(state['g_params']), d_stats,
-                      zero_metrics), imgs)
+                      zero_metrics, jnp.zeros((n_embed,), jnp.int32)), imgs)
         g_grads = _tree_scale(g_grads, 1.0 / grad_accum)
         g_updates, g_opt = g_tx.update(g_grads, state['g_opt'],
                                        state['g_params'])
@@ -180,9 +203,47 @@ def make_vqgan_train_step(cfg: vm.VQModelConfig, g_tx, d_tx, *,
         new_state = {'step': state['step'] + 1, 'g_params': g_params,
                      'g_opt': g_opt, 'd_params': d_params,
                      'd_stats': d_stats, 'd_opt': d_opt, 'key': key}
+
+        if codebook_restart_every is not None:
+            usage = state['code_usage'] + counts
+            key, k_restart = jax.random.split(key)
+            new_state['key'] = key
+
+            def do_restart(args):
+                codebook, usage_ = args
+                # candidate rows: l2-normalized encoder latents of the last
+                # microbatch (codebook rows are l2-normalized at every use,
+                # so this is scale-consistent)
+                x = vm.encoder_apply(g_params['encoder'],
+                                     _cast(imgs[-1], compute_dtype), cfg.enc,
+                                     backend=backend)
+                lat = vqz.l2norm(linear(g_params['prev_quant'], x))
+                lat = lat.reshape(-1, codebook.shape[1])
+                pick = jax.random.randint(k_restart, (n_embed,), 0,
+                                          lat.shape[0])
+                cand = jnp.take(lat, pick, axis=0).astype(codebook.dtype)
+                dead = (usage_ == 0)[:, None]
+                return (jnp.where(dead, cand, codebook),
+                        jnp.zeros_like(usage_),
+                        jnp.sum(dead.astype(jnp.int32)))
+
+            def no_restart(args):
+                codebook, usage_ = args
+                return codebook, usage_, jnp.zeros((), jnp.int32)
+
+            trigger = (new_state['step'] % codebook_restart_every) == 0
+            cb, usage, n_restarted = jax.lax.cond(
+                trigger, do_restart, no_restart,
+                (g_params['quantize']['codebook'], usage))
+            new_state['g_params'] = {
+                **g_params, 'quantize': {**g_params['quantize'],
+                                         'codebook': cb}}
+            new_state['code_usage'] = usage
+            metrics['restarted codes'] = n_restarted
+
         if ema_decay is not None:
-            new_state['g_ema'] = _ema_update(state['g_ema'], g_params,
-                                             ema_decay)
+            new_state['g_ema'] = _ema_update(state['g_ema'],
+                                             new_state['g_params'], ema_decay)
         return new_state, metrics
 
     return step

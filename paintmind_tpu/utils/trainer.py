@@ -144,7 +144,8 @@ class VQGANTrainer(_TrainerBase):
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
                  disc_config=None, remat=False, zero_sharding=False,
-                 eval_rfid=False, ema_decay=None):
+                 eval_rfid=False, ema_decay=None,
+                 codebook_restart_every=None):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -195,16 +196,18 @@ class VQGANTrainer(_TrainerBase):
             lpips_params=self.lpips_params, d_weight=d_weight,
             grad_accum=grad_accum_steps,
             compute_dtype=_dtype_of(mixed_precision), remat=remat,
-            ema_decay=ema_decay)
+            ema_decay=ema_decay,
+            codebook_restart_every=codebook_restart_every)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         key = jax.random.PRNGKey(seed)
         self._zero = zero_sharding
         self._opt_keys = ('g_opt', 'd_opt')
         self.state = self._place_state(
-            train_steps.init_vqgan_train_state(key, vqvae.params, g_tx, d_tx,
-                                               self.dcfg,
-                                               ema_decay=ema_decay),
+            train_steps.init_vqgan_train_state(
+                key, vqvae.params, g_tx, d_tx, self.dcfg,
+                ema_decay=ema_decay,
+                codebook_restart_every=codebook_restart_every),
             self._opt_keys, zero_sharding)
         self.steps = 0
 

@@ -258,6 +258,44 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_codebook_dead_code_restart():
+    """codebook_restart_every extension: unused rows get re-seeded with
+    unit-norm encoder latents on the restart cadence; used rows keep their
+    optimizer-updated values."""
+    from paintmind_tpu import optim as pmoptim
+    from paintmind_tpu.models import vqmodel as vmod
+    from paintmind_tpu.train import steps as ts
+
+    cfg = vmod.VQModelConfig.from_dict(SMALL_VQ)
+    params = vmod.init_vqmodel(jax.random.PRNGKey(0), cfg)
+    g_tx = pmoptim.adam(1e-4)
+    d_tx = pmoptim.adam(1e-4)
+    st = ts.init_vqgan_train_state(jax.random.PRNGKey(1), params, g_tx, d_tx,
+                                   DCFG, codebook_restart_every=2)
+    step = jax.jit(ts.make_vqgan_train_step(
+        cfg, g_tx, d_tx, dcfg=DCFG, grad_accum=1,
+        codebook_restart_every=2))
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (4, 32, 32, 3)), jnp.float32)
+
+    st, m1 = step(st, imgs)  # step 1: no restart, usage accumulates
+    assert int(m1['restarted codes']) == 0
+    used_after_1 = np.asarray(st['code_usage'])
+    assert used_after_1.sum() == 4 * cfg.enc.num_patches
+    cb_before = np.asarray(st['g_params']['quantize']['codebook'])
+
+    st, m2 = step(st, imgs)  # step 2: restart fires
+    n_restarted = int(m2['restarted codes'])
+    assert n_restarted > 0  # tiny batch cannot touch all 64 codes
+    assert np.asarray(st['code_usage']).sum() == 0  # fresh window
+    cb_after = np.asarray(st['g_params']['quantize']['codebook'])
+    # restarted rows are unit-norm (l2-normalized encoder latents); there
+    # must be as many near-unit changed rows as the metric reports
+    changed = (cb_before != cb_after).any(-1)
+    unit = np.abs(np.linalg.norm(cb_after, axis=-1) - 1.0) < 1e-3
+    assert (changed & unit).sum() >= n_restarted * 0.9
+
+
 def test_ema_weights(tmp_path):
     """ema_decay extension: state carries EMA weights, they trail the raw
     weights by the decay law, and eval/export use them."""
