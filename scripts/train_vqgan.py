@@ -29,6 +29,17 @@ def main():
     p.add_argument('--perceptual', default='auto',
                    help="LPIPS weights: 'auto' (converted npz; errors if "
                         "absent), a path, 'random', or 'none'")
+    p.add_argument('--d-weight', type=float, default=0.1,
+                   help='adversarial (non-saturating G) loss weight')
+    p.add_argument('--ema-decay', type=float, default=None,
+                   help='EMA decay for eval/export weights (e.g. 0.999)')
+    p.add_argument('--codebook-restart-every', type=int, default=None,
+                   help='re-seed dead codebook entries every N steps')
+    p.add_argument('--log-every', type=int, default=1,
+                   help='metric-fetch cadence in steps (higher = fewer '
+                        'device->host syncs)')
+    p.add_argument('--eval-rfid', action='store_true',
+                   help='also compute rFID on the validation set each eval')
     args = p.parse_args()
 
     import paintmind_tpu as pm
@@ -71,7 +82,10 @@ def main():
         mixed_precision=args.mixed_precision, save_every=args.save_every,
         sample_every=args.sample_every, result_folder=args.result_folder,
         log_dir=args.log_dir, num_workers=args.num_workers,
-        perceptual_weights=args.perceptual)
+        perceptual_weights=args.perceptual, d_weight=args.d_weight,
+        ema_decay=args.ema_decay, log_every=args.log_every,
+        codebook_restart_every=args.codebook_restart_every,
+        eval_rfid=args.eval_rfid)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()
