@@ -1,0 +1,11 @@
+"""Production-serving tier (extension; the reference has no serving story).
+
+``GenerationEngine`` batches concurrent requests onto the TPU;
+``server.serve`` exposes it over stdlib HTTP.  See ``scripts/serve.py``.
+"""
+
+from .engine import GenerateRequest, GenerationEngine, ReconstructRequest
+from .server import make_server, serve
+
+__all__ = ['GenerationEngine', 'GenerateRequest', 'ReconstructRequest',
+           'make_server', 'serve']

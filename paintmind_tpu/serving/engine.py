@@ -1,0 +1,268 @@
+"""Dynamic-batching inference engine for the MaskGIT pipeline.
+
+The reference repo has no serving story at all — inference is
+``Pipeline.generate`` called by hand (reference paintmind/generate.py:183-198).
+This engine is the production-serving extension: it queues concurrent
+generation / reconstruction requests, coalesces compatible ones into
+padded fixed-shape batches (XLA compiles one program per bucket, cached
+after first use), runs them on a single dispatch thread (one stream of
+device work, no contention), and fulfils per-request futures.
+
+Design notes (TPU-shaped):
+  * MaskGIT generation is a fixed-step ``lax.scan`` — there is no
+    token-by-token continuous batching like an LLM decoder.  The unit of
+    scheduling is a whole 16/18-step sample, so the engine does *dynamic
+    batching*: wait up to ``max_wait_ms`` for compatible requests, pad the
+    group to a power-of-two bucket, run once.
+  * Compatibility = everything that changes the compiled program or is a
+    per-batch scalar: (conditioned?, context length, timesteps, topk,
+    guidance_scale, cfg_warmup, temperature).  ``timesteps``/``topk``/
+    ``guidance_scale`` are static argnums of ``generate_ids`` — mixing them
+    would retrace; temperature is traced but batch-wide.
+  * Buckets are powers of two capped at ``max_batch`` so a steady request
+    mix compiles at most log2(max_batch)+1 programs per signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GenerateRequest:
+    """One text-to-image sample.  ``context`` is a (M, t5_dim) embedding or
+    None (unconditional); ``text`` is encoded via the pipeline's text
+    encoder at submit time (host-side, cheap relative to sampling)."""
+    context: object = None
+    text: str | None = None
+    timesteps: int = 16
+    topk: int = 5
+    temperature: float = 1.0
+    guidance_scale: float | None = None
+    cfg_warmup: float = 0.0
+    seed: int | None = None
+
+    def signature(self):
+        ctx_len = None if self.context is None else int(self.context.shape[0])
+        return ('generate', ctx_len, self.timesteps, self.topk,
+                self.guidance_scale, self.cfg_warmup, self.temperature)
+
+
+@dataclasses.dataclass
+class ReconstructRequest:
+    """Round-trip one image through the stage-1 tokenizer."""
+    image: object = None  # (H, W, 3) float in [-1, 1]
+
+    def signature(self):
+        return ('reconstruct',) + tuple(np.asarray(self.image).shape)
+
+
+def _bucket(n, max_batch):
+    return min(1 << max(0, math.ceil(math.log2(max(n, 1)))), max_batch)
+
+
+class GenerationEngine:
+    """Queue + dispatch thread around a ``Pipeline``.
+
+    >>> eng = GenerationEngine(pipe, max_batch=8, max_wait_ms=5)
+    >>> fut = eng.submit(GenerateRequest(timesteps=16))
+    >>> img = fut.result()          # (H, W, 3) float32 in [-1, 1]
+    """
+
+    def __init__(self, pipeline, *, max_batch=16, max_wait_ms=20.0,
+                 latency_window=512):
+        self.pipeline = pipeline
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1000.0
+        self._queue = queue.SimpleQueue()
+        self._pending = {}  # signature -> list[(req, future, t_submit)]
+        self._lock = threading.Lock()
+        self._closed = False
+        self._latencies = deque(maxlen=latency_window)
+        self._counters = {'requests': 0, 'batches': 0, 'batched_requests': 0,
+                          'errors': 0, 'padded_slots': 0}
+        self._seed_key = np.random.default_rng()
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name='pm-serving-dispatch',
+                                        daemon=True)
+        self._thread.start()
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, request) -> Future:
+        if self._closed:
+            raise RuntimeError('engine is closed')
+        if isinstance(request, GenerateRequest) and request.text is not None \
+                and request.context is None:
+            # encode text on the caller's thread; sampling stays batched
+            ctx = self.pipeline.embed_text([request.text])
+            request = dataclasses.replace(
+                request, context=np.asarray(ctx)[0], text=None)
+        fut = Future()
+        with self._lock:
+            self._counters['requests'] += 1
+        self._queue.put((request, fut, time.monotonic()))
+        return fut
+
+    def generate(self, **kw):
+        """Synchronous convenience wrapper."""
+        return self.submit(GenerateRequest(**kw)).result()
+
+    def reconstruct(self, image):
+        return self.submit(ReconstructRequest(image=np.asarray(image))).result()
+
+    def stats(self):
+        with self._lock:
+            lat = sorted(self._latencies)
+            c = dict(self._counters)
+        pct = (lambda p: lat[min(int(p * len(lat)), len(lat) - 1)]
+               if lat else None)
+        c.update(queue_depth=self._queue.qsize(),
+                 latency_p50_s=pct(0.50), latency_p95_s=pct(0.95),
+                 mean_batch_occupancy=(c['batched_requests'] /
+                                       c['batches'] if c['batches'] else None))
+        return c
+
+    def close(self, timeout=None):
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _dispatch_loop(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._flush_all()
+                return
+            group = self._collect_group(item)
+            if group:
+                self._run_group(*group)
+
+    def _collect_group(self, first):
+        """Gather requests sharing ``first``'s signature until the bucket is
+        full or ``max_wait`` has passed; stash incompatible arrivals back in
+        ``_pending`` order via re-queue."""
+        req, fut, t0 = first
+        sig = req.signature()
+        group = [(req, fut, t0)]
+        deadline = time.monotonic() + self.max_wait
+        stash = []
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:  # close requested: finish this group first
+                self._queue.put(None)
+                break
+            if item[0].signature() == sig:
+                group.append(item)
+            else:
+                stash.append(item)
+        for item in stash:  # preserve arrival order for the next group
+            self._queue.put(item)
+        return sig, group
+
+    def _run_group(self, sig, group):
+        try:
+            if sig[0] == 'generate':
+                outs = self._run_generate([r for r, _, _ in group])
+            else:
+                outs = self._run_reconstruct([r for r, _, _ in group])
+            err = None
+        except Exception as e:  # noqa: BLE001 — surfaced via futures
+            outs, err = None, e
+        now = time.monotonic()
+        with self._lock:
+            self._counters['batches'] += 1
+            self._counters['batched_requests'] += len(group)
+            if err is not None:
+                self._counters['errors'] += len(group)
+            for _, _, t0 in group:
+                self._latencies.append(now - t0)
+        for i, (_, fut, _) in enumerate(group):
+            if err is not None:
+                fut.set_exception(err)
+            else:
+                fut.set_result(outs[i])
+
+    def _run_generate(self, reqs):
+        r0 = reqs[0]
+        n = len(reqs)
+        bucket = _bucket(n, self.max_batch)
+        with self._lock:
+            self._counters['padded_slots'] += bucket - n
+
+        if r0.context is not None:
+            ctx = np.stack([np.asarray(r.context, np.float32) for r in reqs])
+            if bucket > n:  # pad with copies of the first row; sliced away
+                pad = np.broadcast_to(ctx[:1], (bucket - n,) + ctx.shape[1:])
+                ctx = np.concatenate([ctx, pad], axis=0)
+            text, num = ctx, None
+        else:
+            text, num = None, bucket
+
+        key = self._batch_key(reqs)
+        imgs = self.pipeline.generate(
+            text=text, timesteps=r0.timesteps, topk=r0.topk,
+            temperature=r0.temperature, guidance_scale=r0.guidance_scale,
+            cfg_warmup=r0.cfg_warmup, num_samples=num, decode_steps='final',
+            key=key)[-1]
+        imgs = np.asarray(imgs, np.float32)
+        return [imgs[i] for i in range(n)]
+
+    def _run_reconstruct(self, reqs):
+        imgs = np.stack([np.asarray(r.image, np.float32) for r in reqs])
+        n = len(reqs)
+        bucket = _bucket(n, self.max_batch)
+        if bucket > n:
+            pad = np.broadcast_to(imgs[:1], (bucket - n,) + imgs.shape[1:])
+            imgs = np.concatenate([imgs, pad], axis=0)
+        with self._lock:
+            self._counters['padded_slots'] += bucket - n
+        vq = self.pipeline.vqgan
+        z, _, _ = vq.encode(imgs)
+        rec = np.asarray(vq.decode(z), np.float32)
+        return [rec[i] for i in range(n)]
+
+    def _batch_key(self, reqs):
+        """Per-batch PRNG key: seeded requests fold their seeds together
+        (reproducible only for identical batch composition — documented
+        serving semantics); unseeded batches draw fresh entropy."""
+        import jax
+        seeds = [r.seed for r in reqs if getattr(r, 'seed', None) is not None]
+        if seeds:
+            key = jax.random.PRNGKey(seeds[0])
+            for s in seeds[1:]:
+                key = jax.random.fold_in(key, s)
+            return key
+        return jax.random.PRNGKey(int(self._seed_key.integers(2 ** 31)))
+
+    def _flush_all(self):
+        """Fail any requests still queued at close time."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(RuntimeError('engine closed'))

@@ -1,0 +1,141 @@
+"""Minimal JSON-over-HTTP front end for :class:`GenerationEngine`.
+
+Stdlib-only (``http.server`` + threads) so the serving tier adds no
+dependencies.  One engine instance per process; request handling threads
+block on engine futures while the single dispatch thread drives the TPU.
+
+Endpoints:
+  GET  /healthz       -> {"ok": true}
+  GET  /stats         -> engine counters / latency percentiles
+  POST /generate      -> {"prompt"?: str, "context"?: [[...]], "timesteps"?,
+                          "topk"?, "temperature"?, "guidance_scale"?,
+                          "cfg_warmup"?, "seed"?}
+                         returns {"image": <base64 PNG>}
+  POST /reconstruct   -> {"image": <base64 PNG>}   (any RGB image; it is
+                         resized/cropped with the stage-1 eval transform)
+                         returns {"image": <base64 PNG>}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .engine import GenerateRequest, GenerationEngine, ReconstructRequest
+
+
+def _img_to_png_b64(img):
+    """(H, W, 3) float in [-1, 1] -> base64 PNG string."""
+    from PIL import Image
+    arr = np.clip((np.asarray(img, np.float32) + 1.0) * 127.5, 0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(arr.astype(np.uint8)).save(buf, format='PNG')
+    return base64.b64encode(buf.getvalue()).decode('ascii')
+
+
+def _png_b64_to_img(b64, image_size):
+    """base64 image -> (H, W, 3) float in [-1, 1] at the model resolution."""
+    from PIL import Image
+    from ..utils.transform import stage1_transform
+    pil = Image.open(io.BytesIO(base64.b64decode(b64))).convert('RGB')
+    return np.asarray(
+        stage1_transform(img_size=image_size, is_train=False)(pil))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: GenerationEngine = None  # set by make_server
+    defaults: dict = None
+    protocol_version = 'HTTP/1.1'
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == '/healthz':
+            return self._reply(200, {'ok': True})
+        if self.path == '/stats':
+            return self._reply(200, self.engine.stats())
+        return self._reply(404, {'error': f'unknown path {self.path}'})
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get('Content-Length', 0))
+            req = json.loads(self.rfile.read(length) or b'{}')
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._reply(400, {'error': f'bad request body: {e}'})
+        try:
+            if self.path == '/generate':
+                return self._reply(200, self._generate(req))
+            if self.path == '/reconstruct':
+                return self._reply(200, self._reconstruct(req))
+        except Exception as e:  # noqa: BLE001 — report, keep serving
+            return self._reply(500, {'error': f'{type(e).__name__}: {e}'})
+        return self._reply(404, {'error': f'unknown path {self.path}'})
+
+    def _generate(self, req):
+        kw = dict(self.defaults)
+        for k in ('timesteps', 'topk', 'temperature', 'guidance_scale',
+                  'cfg_warmup', 'seed'):
+            if k in req:
+                kw[k] = req[k]
+        context = req.get('context')
+        if context is not None:
+            context = np.asarray(context, np.float32)
+        img = self.engine.submit(GenerateRequest(
+            text=req.get('prompt'), context=context, **kw)).result()
+        return {'image': _img_to_png_b64(img)}
+
+    def _reconstruct(self, req):
+        if 'image' not in req:
+            raise ValueError("missing 'image' (base64 PNG/JPEG)")
+        x = _png_b64_to_img(req['image'], self.engine.pipeline.image_size)
+        rec = self.engine.submit(ReconstructRequest(image=x)).result()
+        return {'image': _img_to_png_b64(rec)}
+
+
+def make_server(engine, host='127.0.0.1', port=8000, defaults=None):
+    """Build (without starting) a ThreadingHTTPServer bound to ``engine``."""
+    handler = type('Handler', (_Handler,), {
+        'engine': engine,
+        'defaults': {'timesteps': 16, 'topk': 5, **(defaults or {})},
+    })
+
+    class _Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def handle_error(self, request, client_address):
+            # client hangups (ConnectionResetError at teardown) are routine
+            import sys
+            exc = sys.exception()
+            if not isinstance(exc, (ConnectionError, BrokenPipeError)):
+                super().handle_error(request, client_address)
+
+    return _Server((host, port), handler)
+
+
+def serve(pipeline, host='127.0.0.1', port=8000, *, max_batch=16,
+          max_wait_ms=20.0, defaults=None):
+    """Blocking entry point: wrap ``pipeline`` in an engine and serve."""
+    with GenerationEngine(pipeline, max_batch=max_batch,
+                          max_wait_ms=max_wait_ms) as engine:
+        httpd = make_server(engine, host, port, defaults)
+        print(f'serving on http://{host}:{httpd.server_address[1]} '
+              f'(max_batch={max_batch}, max_wait={max_wait_ms}ms)')
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()

@@ -1,0 +1,143 @@
+"""Serving-tier tests: dynamic batching semantics of GenerationEngine and
+the JSON HTTP front end (extension — the reference has no serving story)."""
+
+import base64
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import paintmind_tpu.config as pmc  # noqa: E402
+from paintmind_tpu.models import pipeline as pl  # noqa: E402
+from paintmind_tpu.serving import (GenerateRequest, GenerationEngine,  # noqa: E402
+                                   ReconstructRequest, make_server)
+
+SMALL_VQ = {
+    'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
+    'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'in_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+    'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'out_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+}
+pmc.register_version('test-vqgan-serve', SMALL_VQ)
+
+SMALL_PIPE = pl.PipelineConfig(
+    stage1='test-vqgan-serve', t5='t5-l', dim=32, dim_head=16, mlp_dim=64,
+    num_head=2, depth=1, dropout=0.0,
+    vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=48)
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    return pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                       text_encoder=None)
+
+
+def test_engine_batches_concurrent_requests(pipe):
+    with GenerationEngine(pipe, max_batch=8, max_wait_ms=200) as eng:
+        reqs = [GenerateRequest(timesteps=2, topk=2, seed=i)
+                for i in range(4)]
+        futs = [eng.submit(r) for r in reqs]
+        outs = [f.result(timeout=120) for f in futs]
+    for img in outs:
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all()
+    stats = eng.stats()
+    assert stats['requests'] == 4
+    # all four compatible requests should have coalesced into few batches
+    assert stats['batches'] <= 2
+    assert stats['mean_batch_occupancy'] >= 2
+
+
+def test_incompatible_signatures_run_separately(pipe):
+    with GenerationEngine(pipe, max_batch=8, max_wait_ms=50) as eng:
+        f1 = eng.submit(GenerateRequest(timesteps=2, topk=2))
+        f2 = eng.submit(GenerateRequest(timesteps=3, topk=2))
+        a, b = f1.result(timeout=120), f2.result(timeout=120)
+    assert a.shape == b.shape == (32, 32, 3)
+    assert eng.stats()['batches'] == 2
+
+
+def test_padded_bucket_slots_are_sliced_away(pipe):
+    with GenerationEngine(pipe, max_batch=8, max_wait_ms=200) as eng:
+        futs = [eng.submit(GenerateRequest(timesteps=2, topk=2))
+                for _ in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+    assert len(outs) == 3
+    # 3 requests pad to the 4-bucket: exactly one padded slot
+    assert eng.stats()['padded_slots'] >= 1
+
+
+def test_conditioned_requests_batch_on_context(pipe):
+    rng = np.random.default_rng(0)
+    ctx = rng.standard_normal((5, 48)).astype(np.float32)
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=200) as eng:
+        futs = [eng.submit(GenerateRequest(context=ctx, timesteps=2, topk=2,
+                                           guidance_scale=2.0))
+                for _ in range(2)]
+        outs = [f.result(timeout=120) for f in futs]
+    assert all(o.shape == (32, 32, 3) for o in outs)
+    assert eng.stats()['batches'] == 1
+
+
+def test_reconstruct_request(pipe):
+    x = np.random.default_rng(1).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=10) as eng:
+        rec = eng.submit(ReconstructRequest(image=x)).result(timeout=120)
+    assert rec.shape == x.shape
+    assert np.isfinite(rec).all()
+
+
+def test_closed_engine_rejects_submissions(pipe):
+    eng = GenerationEngine(pipe, max_batch=2, max_wait_ms=1)
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(GenerateRequest(timesteps=2))
+
+
+def test_http_server_endpoints(pipe):
+    from PIL import Image
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=10) as eng:
+        httpd = make_server(eng, port=0)  # ephemeral port
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+
+            conn.request('GET', '/healthz')
+            assert json.loads(conn.getresponse().read()) == {'ok': True}
+
+            conn.request('POST', '/generate',
+                         json.dumps({'timesteps': 2, 'topk': 2, 'seed': 7}),
+                         {'Content-Type': 'application/json'})
+            out = json.loads(conn.getresponse().read())
+            img = Image.open(io.BytesIO(base64.b64decode(out['image'])))
+            assert img.size == (32, 32)
+
+            # reconstruct an arbitrary-size image (transform resizes it)
+            src = Image.fromarray(np.random.default_rng(2).integers(
+                0, 255, (40, 50, 3), dtype=np.uint8), 'RGB')
+            buf = io.BytesIO()
+            src.save(buf, format='PNG')
+            conn.request('POST', '/reconstruct', json.dumps(
+                {'image': base64.b64encode(buf.getvalue()).decode()}),
+                {'Content-Type': 'application/json'})
+            out = json.loads(conn.getresponse().read())
+            rec = Image.open(io.BytesIO(base64.b64decode(out['image'])))
+            assert rec.size == (32, 32)
+
+            conn.request('GET', '/stats')
+            stats = json.loads(conn.getresponse().read())
+            assert stats['requests'] >= 2
+
+            conn.request('POST', '/nope', '{}')
+            assert conn.getresponse().status == 404
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
