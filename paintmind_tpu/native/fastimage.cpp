@@ -18,10 +18,15 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <map>
+#include <mutex>
+#include <random>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -172,6 +177,23 @@ void PreprocessOne(const uint8_t* rgb, int h, int w, int rs, int cs, int top,
   }
 }
 
+// Read a whole file into a byte vector. Returns false on IO error.
+bool ReadFileBytes(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  if (sz < 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(size_t(sz));
+  size_t got = sz ? std::fread(out->data(), 1, size_t(sz), f) : 0;
+  std::fclose(f);
+  return got == size_t(sz);
+}
+
 void ParallelFor(int n, int num_threads, const std::function<void(int)>& fn) {
   num_threads = std::max(1, std::min(num_threads, n));
   if (num_threads == 1) {
@@ -189,9 +211,197 @@ void ParallelFor(int n, int num_threads, const std::function<void(int)>& fn) {
   for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Pipelined loader: disk read -> JPEG decode -> preprocess in a worker pool,
+// with a bounded in-order prefetch queue.  This is the native counterpart of
+// torch DataLoader workers (the reference's host loading tier,
+// paintmind/utils/datasets.py + torch DataLoader inside accelerate.prepare):
+// the consumer thread (Python) only ever memcpy's finished float batches.
+// ---------------------------------------------------------------------------
+
+struct Loader {
+  std::vector<std::string> paths;
+  int batch_size, rs, cs, is_train, hflip, drop_last;
+  uint64_t seed;
+  int num_threads, prefetch;
+
+  // epoch state
+  int epoch = -1;
+  std::vector<int> order;                 // shuffled item indices
+  int n_batches = 0;
+  std::atomic<int> next_ticket{0};        // next batch a worker grabs
+  std::atomic<int> failures{0};
+  std::atomic<bool> stop{false};
+
+  std::mutex mu;
+  std::condition_variable cv_ready;       // consumer waits for its batch
+  std::condition_variable cv_space;       // workers wait for queue space
+  std::map<int, std::vector<float>> ready;  // batch index -> pixels
+  std::map<int, int> ready_count;           // batch index -> item count
+  std::map<int, std::vector<int>> ready_idx;  // batch index -> item indices
+  int next_deliver = 0;
+
+  std::vector<std::thread> workers;
+
+  int items_in_batch(int b) const {
+    int n = int(order.size());
+    int lo = b * batch_size;
+    return std::min(batch_size, n - lo);
+  }
+
+  void join_workers() {
+    stop.store(true);
+    cv_space.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    stop.store(false);
+  }
+
+  void worker_main() {
+    std::vector<uint8_t> filebuf, rgb;
+    for (;;) {
+      int b = next_ticket.fetch_add(1);
+      if (b >= n_batches || stop.load()) return;
+      {
+        // bounded prefetch: stay within `prefetch` batches of the consumer
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stop.load() || b < next_deliver + prefetch;
+        });
+        if (stop.load()) return;
+      }
+      int count = items_in_batch(b);
+      std::vector<float> pixels(size_t(count) * cs * cs * 3);
+      std::vector<int> indices(count);
+      for (int j = 0; j < count; ++j) {
+        int item = order[size_t(b) * batch_size + j];
+        indices[j] = item;
+        float* dst = pixels.data() + size_t(j) * cs * cs * 3;
+        int h = 0, w = 0;
+        // per-item RNG keyed by (seed, epoch, item): crop/flip params are
+        // reproducible regardless of thread scheduling
+        std::mt19937_64 rng(seed ^ (uint64_t(epoch) << 32) ^
+                            (uint64_t(item) * 0x9e3779b97f4a7c15ull));
+        int max_off = rs - cs;
+        int top = max_off / 2, left = max_off / 2, flip = 0;
+        if (is_train) {
+          top = int(rng() % uint64_t(max_off + 1));
+          left = int(rng() % uint64_t(max_off + 1));
+          flip = hflip && (rng() % 2);
+        }
+        if (!ReadFileBytes(paths[item].c_str(), &filebuf) ||
+            !DecodeJpeg(filebuf.data(), filebuf.size(), &rgb, &h, &w)) {
+          std::memset(dst, 0, size_t(cs) * cs * 3 * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
+        PreprocessOne(rgb.data(), h, w, rs, cs, top, left, flip, dst);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace(b, std::move(pixels));
+        ready_count.emplace(b, count);
+        ready_idx.emplace(b, std::move(indices));
+      }
+      cv_ready.notify_all();
+    }
+  }
+
+  void start_epoch(int e) {
+    join_workers();
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      ready.clear();
+      ready_count.clear();
+      ready_idx.clear();
+      next_deliver = 0;
+    }
+    epoch = e;
+    next_ticket.store(0);
+    failures.store(0);
+    int n = int(paths.size());
+    order.resize(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    if (is_train) {  // eval order is deterministic file order
+      std::mt19937_64 rng(seed ^ 0xda7a10ad ^ (uint64_t(e) * 0x2545f4914f6cdd1dull));
+      for (int i = n - 1; i > 0; --i)
+        std::swap(order[i], order[size_t(rng() % uint64_t(i + 1))]);
+    }
+    n_batches = drop_last ? n / batch_size : (n + batch_size - 1) / batch_size;
+    int threads = std::max(1, std::min(num_threads, n_batches));
+    for (int t = 0; t < threads; ++t)
+      workers.emplace_back([this] { worker_main(); });
+  }
+
+  // Blocks until batch `next_deliver` is ready; returns item count (0 when
+  // the epoch is exhausted).
+  int next(float* out, int* idx_out) {
+    std::unique_lock<std::mutex> lk(mu);
+    if (next_deliver >= n_batches) return 0;
+    int b = next_deliver;
+    cv_ready.wait(lk, [&] { return ready.count(b) > 0; });
+    int count = ready_count[b];
+    std::memcpy(out, ready[b].data(),
+                size_t(count) * cs * cs * 3 * sizeof(float));
+    if (idx_out)
+      std::memcpy(idx_out, ready_idx[b].data(), size_t(count) * sizeof(int));
+    ready.erase(b);
+    ready_count.erase(b);
+    ready_idx.erase(b);
+    ++next_deliver;
+    lk.unlock();
+    cv_space.notify_all();
+    return count;
+  }
+
+  ~Loader() { join_workers(); }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Pipelined folder loader. `paths` are NUL-terminated JPEG file paths
+// (copied at create time).  See struct Loader above.
+void* pm_loader_create(const char* const* paths, int n_paths, int batch_size,
+                       int rs, int cs, int is_train, int hflip, uint64_t seed,
+                       int num_threads, int prefetch_batches, int drop_last) {
+  if (n_paths <= 0 || batch_size <= 0 || rs < cs) return nullptr;
+  Loader* l = new Loader();
+  l->paths.assign(paths, paths + n_paths);
+  l->batch_size = batch_size;
+  l->rs = rs;
+  l->cs = cs;
+  l->is_train = is_train;
+  l->hflip = hflip;
+  l->drop_last = drop_last;
+  l->seed = seed;
+  l->num_threads = std::max(1, num_threads);
+  l->prefetch = std::max(1, prefetch_batches);
+  return l;
+}
+
+void pm_loader_start_epoch(void* handle, int epoch) {
+  static_cast<Loader*>(handle)->start_epoch(epoch);
+}
+
+int pm_loader_num_batches(void* handle) {
+  Loader* l = static_cast<Loader*>(handle);
+  int n = int(l->paths.size());
+  return l->drop_last ? n / l->batch_size
+                      : (n + l->batch_size - 1) / l->batch_size;
+}
+
+int pm_loader_next(void* handle, float* out, int* idx_out) {
+  return static_cast<Loader*>(handle)->next(out, idx_out);
+}
+
+int pm_loader_failed_count(void* handle) {
+  return static_cast<Loader*>(handle)->failures.load();
+}
+
+void pm_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 // Decode+preprocess a batch of JPEG buffers.
 //   datas/lens: n JPEG byte buffers

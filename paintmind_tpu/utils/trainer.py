@@ -145,7 +145,8 @@ class VQGANTrainer(_TrainerBase):
                  perceptual_weights='auto', d_weight=0.1, log_every=1,
                  disc_config=None, remat=False, zero_sharding=False,
                  eval_rfid=False, ema_decay=None,
-                 codebook_restart_every=None):
+                 codebook_restart_every=None, train_loader=None,
+                 valid_loader=None):
         del pin_memory  # host staging handled by shard_batch
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
@@ -159,19 +160,30 @@ class VQGANTrainer(_TrainerBase):
         self.eval_rfid = eval_rfid
         self._setup_dirs(result_folder)
 
-        train_size = len(dataset) - valid_size
-        self.train_ds, self.valid_ds = random_split(
-            dataset, [train_size, valid_size], seed=seed)
-        print(f'train dataset size: {train_size}, valid dataset size: {valid_size}')
-        # One host step = one optimizer update over grad_accum microbatches
-        # of `batch_size` each — same effective batch (batch_size·accum) as
-        # the reference's accumulate() over grad_accum DataLoader batches.
-        self.train_dl = DataLoader(self.train_ds,
-                                   batch_size * grad_accum_steps,
-                                   shuffle=True, seed=seed,
-                                   num_workers=num_workers)
-        self.valid_dl = DataLoader(self.valid_ds, min(batch_size, valid_size),
-                                   shuffle=False, num_workers=num_workers)
+        if train_loader is not None:
+            # externally built loaders (e.g. native.fastloader) — the train
+            # loader must yield batch_size·grad_accum images per host step
+            if valid_loader is None:
+                raise ValueError('train_loader also requires valid_loader')
+            self.train_dl, self.valid_dl = train_loader, valid_loader
+        else:
+            train_size = len(dataset) - valid_size
+            self.train_ds, self.valid_ds = random_split(
+                dataset, [train_size, valid_size], seed=seed)
+            print(f'train dataset size: {train_size}, '
+                  f'valid dataset size: {valid_size}')
+            # One host step = one optimizer update over grad_accum
+            # microbatches of `batch_size` each — same effective batch
+            # (batch_size·accum) as the reference's accumulate() over
+            # grad_accum DataLoader batches.
+            self.train_dl = DataLoader(self.train_ds,
+                                       batch_size * grad_accum_steps,
+                                       shuffle=True, seed=seed,
+                                       num_workers=num_workers)
+            self.valid_dl = DataLoader(self.valid_ds,
+                                       min(batch_size, valid_size),
+                                       shuffle=False,
+                                       num_workers=num_workers)
 
         # scheduler horizon + self.steps stay in reference microbatch units
         iters = max(len(self.train_dl), 1) * grad_accum_steps
@@ -365,17 +377,26 @@ class PaintMindTrainer(_TrainerBase):
         self._setup_dirs(result_folder)
         self._text_embedder = text_embedder
 
-        train_size = len(dataset) - valid_size
-        self.train_ds, self.valid_ds = random_split(
-            dataset, [train_size, valid_size], seed=seed)
-        # batch_size·accum images per host step → one update sees the same
-        # effective batch as the reference's accumulate() recipe.
-        self.train_dl = DataLoader(self.train_ds,
-                                   batch_size * grad_accum_steps,
-                                   shuffle=True, seed=seed,
-                                   num_workers=num_workers)
-        self.valid_dl = DataLoader(self.valid_ds, 6, shuffle=False,
-                                   num_workers=num_workers)
+        train_loader = kwargs.pop('train_loader', None)
+        valid_loader = kwargs.pop('valid_loader', None)
+        if train_loader is not None:
+            # externally built loaders (e.g. native.fastloader); the train
+            # loader must yield batch_size·grad_accum items per host step
+            if valid_loader is None:
+                raise ValueError('train_loader also requires valid_loader')
+            self.train_dl, self.valid_dl = train_loader, valid_loader
+        else:
+            train_size = len(dataset) - valid_size
+            self.train_ds, self.valid_ds = random_split(
+                dataset, [train_size, valid_size], seed=seed)
+            # batch_size·accum images per host step → one update sees the
+            # same effective batch as the reference's accumulate() recipe.
+            self.train_dl = DataLoader(self.train_ds,
+                                       batch_size * grad_accum_steps,
+                                       shuffle=True, seed=seed,
+                                       num_workers=num_workers)
+            self.valid_dl = DataLoader(self.valid_ds, 6, shuffle=False,
+                                       num_workers=num_workers)
 
         # microbatch-unit horizon; see _micro_schedule
         iters = max(len(self.train_dl), 1) * grad_accum_steps

@@ -4,6 +4,7 @@ reference README.md:81-101 — lr 1e-4→5e-5, warmup 50k from 1e-6, decay 100k,
 batch 16, accum 8, bf16, clip 1.0)."""
 
 import argparse
+import os
 
 
 def main():
@@ -40,6 +41,9 @@ def main():
                         'device->host syncs)')
     p.add_argument('--eval-rfid', action='store_true',
                    help='also compute rFID on the validation set each eval')
+    p.add_argument('--native-loader', action='store_true',
+                   help='use the C++ pipelined loader (folder:<dir> of '
+                        'JPEGs only) instead of the threaded-PIL DataLoader')
     args = p.parse_args()
 
     import paintmind_tpu as pm
@@ -54,7 +58,6 @@ def main():
         from paintmind_tpu.utils.datasets import CoCo
         dataset = CoCo(root, transform=transform)
     elif kind == 'folder':
-        import os
         from PIL import Image
 
         class Folder:
@@ -72,6 +75,27 @@ def main():
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
+    train_loader = valid_loader = None
+    if args.native_loader:
+        if kind != 'folder':
+            raise SystemExit('--native-loader needs a folder:<dir> dataset')
+        import numpy as np
+        from paintmind_tpu.native.fastloader import NativeFolderLoader
+        paths = sorted(os.path.join(root, f) for f in os.listdir(root)
+                       if f.lower().endswith(('.jpg', '.jpeg')))
+        perm = np.random.default_rng(42).permutation(len(paths))
+        valid_n = min(32, max(len(paths) // 10, 1))
+        train_loader = NativeFolderLoader(
+            [paths[i] for i in perm[valid_n:]],
+            args.batch_size * args.grad_accum, is_train=True, seed=42,
+            num_workers=args.num_workers)
+        valid_loader = NativeFolderLoader(
+            [paths[i] for i in perm[:valid_n]],
+            min(args.batch_size, valid_n), is_train=False, drop_last=False,
+            num_workers=args.num_workers)
+        print(f'native loader: {len(paths) - valid_n} train / '
+              f'{valid_n} valid JPEGs')
+
     model = pm.create_model(arch='vqgan', version=args.version,
                             pretrained=False)
     trainer = pm.VQGANTrainer(
@@ -85,7 +109,8 @@ def main():
         perceptual_weights=args.perceptual, d_weight=args.d_weight,
         ema_decay=args.ema_decay, log_every=args.log_every,
         codebook_restart_every=args.codebook_restart_every,
-        eval_rfid=args.eval_rfid)
+        eval_rfid=args.eval_rfid, train_loader=train_loader,
+        valid_loader=valid_loader)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()

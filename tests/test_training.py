@@ -448,3 +448,46 @@ def test_dataloader_early_break_no_deadlock():
             break
     # a second full iteration still works (no stuck producer)
     assert len(list(dl)) == 16
+
+
+def test_vqgan_trainer_with_external_native_loader(tmp_path):
+    """The trainer accepts externally built loaders (native fastloader tier)
+    and trains/evaluates through them end-to-end."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.native import fastimage
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+
+    if not fastimage.is_available():
+        pytest.skip('native toolchain unavailable')
+    from PIL import Image
+    from paintmind_tpu.native.fastloader import NativeFolderLoader
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / 'jpegs'
+    d.mkdir()
+    for i in range(24):
+        Image.fromarray(rng.integers(0, 255, (48, 56, 3), dtype=np.uint8),
+                        'RGB').save(d / f'{i:02d}.jpg', quality=92)
+    paths = sorted(str(p) for p in d.iterdir())
+    train_loader = NativeFolderLoader(paths[4:], batch_size=16,
+                                      img_size=32, is_train=True, seed=1,
+                                      num_workers=2)
+    valid_loader = NativeFolderLoader(paths[:4], batch_size=4, img_size=32,
+                                      is_train=False, drop_last=False)
+    model = VQModel(SMALL_VQ, seed=0)
+    trainer = VQGANTrainer(
+        model, dataset=None, num_epoch=1, lr=1e-3, warmup_steps=2,
+        batch_size=16, grad_accum_steps=1, mixed_precision='no',
+        save_every=100, sample_every=1, result_folder=str(tmp_path),
+        log_dir=str(tmp_path / 'log'), perceptual_weights='none',
+        disc_config=DCFG, train_loader=train_loader,
+        valid_loader=valid_loader)
+    trainer.train()
+    assert trainer.steps == 1  # 20 train imgs // 16 = 1 batch (drop_last)
+    assert np.isfinite(trainer.log['rec loss'])
+    assert np.isfinite(trainer.log['val psnr'])
+    with pytest.raises(ValueError):
+        VQGANTrainer(model, dataset=None, num_epoch=1, batch_size=16,
+                     mixed_precision='no', result_folder=str(tmp_path),
+                     perceptual_weights='none', disc_config=DCFG,
+                     train_loader=train_loader)
