@@ -9,7 +9,8 @@ import argparse
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--dataset', required=True,
-                   help='coco:<root> | imagenet:<root> | diffusiondb:<ver>')
+                   help='coco:<root> | imagenet:<root> | diffusiondb:<ver> '
+                        '| folder:<dir> (captionless → unconditional)')
     p.add_argument('--version', default='paintmindv1')
     p.add_argument('--stage1-checkpoint', default=None,
                    help='local stage-1 weights; without it the published '
@@ -35,6 +36,16 @@ def main():
     p.add_argument('--sample-every', type=int, default=1000)
     p.add_argument('--resume', default=None)
     p.add_argument('--num-workers', type=int, default=8)
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize transformer blocks (fits batch 16 '
+                        'without accumulation in 16G HBM)')
+    p.add_argument('--ema-decay', type=float, default=None)
+    p.add_argument('--cfg-p', type=float, default=0.1,
+                   help='caption-dropout probability (CFG training)')
+    p.add_argument('--valid-size', type=int, default=10)
+    p.add_argument('--native-loader', action='store_true',
+                   help='use the C++ pipelined loader (folder:<dir> of '
+                        'JPEGs only; unconditional)')
     args = p.parse_args()
 
     import paintmind_tpu as pm
@@ -52,8 +63,48 @@ def main():
         from paintmind_tpu.utils.datasets import DiffusionDB
         dataset = DiffusionDB(root or 'large_random_100k',
                               transform=transform)
+    elif kind == 'folder':
+        import os
+        from PIL import Image
+
+        class Folder:
+            def __init__(self, d):
+                self.paths = [os.path.join(d, f)
+                              for f in sorted(os.listdir(d))
+                              if f.lower().endswith(('.jpg', '.jpeg',
+                                                     '.png'))]
+
+            def __len__(self):
+                return len(self.paths)
+
+            def __getitem__(self, i):
+                return transform(Image.open(self.paths[i]).convert('RGB'))
+
+        dataset = Folder(root)
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
+
+    train_loader = valid_loader = None
+    if args.native_loader:
+        if kind != 'folder':
+            raise SystemExit('--native-loader needs a folder:<dir> dataset')
+        import numpy as np
+        from paintmind_tpu.native.fastloader import NativeFolderLoader
+        paths = [p for p in dataset.paths
+                 if p.lower().endswith(('.jpg', '.jpeg'))]
+        perm = np.random.default_rng(42).permutation(len(paths))
+        valid_n = min(args.valid_size, max(len(paths) // 10, 1))
+        # hflip=False: stage-2 transform parity (no flip; reference
+        # transform.py:23-34 — flips would break text-image alignment)
+        train_loader = NativeFolderLoader(
+            [paths[i] for i in perm[valid_n:]],
+            args.batch_size * args.grad_accum, is_train=True, seed=42,
+            hflip=False, num_workers=args.num_workers)
+        valid_loader = NativeFolderLoader(
+            [paths[i] for i in perm[:valid_n]], valid_n, is_train=False,
+            drop_last=False, num_workers=args.num_workers)
+        print(f'native loader: {len(paths) - valid_n} train / '
+              f'{valid_n} valid JPEGs')
 
     model = pm.create_pipeline_for_train(
         version=args.version,
@@ -66,7 +117,10 @@ def main():
         batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
         mixed_precision=args.mixed_precision, save_every=args.save_every,
         sample_every=args.sample_every, result_folder=args.result_folder,
-        log_dir=args.log_dir, num_workers=args.num_workers)
+        log_dir=args.log_dir, num_workers=args.num_workers,
+        remat=args.remat, ema_decay=args.ema_decay, cfg_p=args.cfg_p,
+        valid_size=args.valid_size, train_loader=train_loader,
+        valid_loader=valid_loader)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()

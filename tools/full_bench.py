@@ -25,6 +25,23 @@ def fence(x):
         lambda a: float(jnp.sum(jnp.asarray(a).astype(jnp.float32))), x)
 
 
+def _quality_images(rng_seed, n):
+    """Fixed held-out 256² crops of the real photographs shipped with the
+    reference README (see tools/make_photo_corpus.py); falls back to
+    fixed-seed noise if the assets are missing."""
+    rng = np.random.default_rng(rng_seed)
+    try:
+        from make_photo_corpus import load_sources, random_crop
+        srcs = load_sources()
+        crops = [np.asarray(random_crop(srcs[i % len(srcs)], rng),
+                            np.float32) / 127.5 - 1.0 for i in range(n)]
+        return np.stack(crops)
+    except Exception as e:  # offline asset layout changed
+        print(f'quality: reference photos unavailable ({e}); using noise',
+              file=sys.stderr)
+        return rng.uniform(-1, 1, (n, 256, 256, 3)).astype(np.float32)
+
+
 def timed(fn, n=3):
     fence(fn())
     t0 = time.time()
@@ -142,15 +159,32 @@ def main():
     # -- quality: rec PSNR + rFID on a fixed image set -------------------
     # (the second half of the driver metric "rec PSNR/rFID"; with no
     # pretrained InceptionV3 weights in this environment the extractor is
-    # the documented fixed-seed substitute and the variant says so)
+    # the documented fixed-seed substitute and the variant says so).
+    # Real photographs (the reference README originals) and, when present,
+    # the from-scratch-trained tokenizer checkpoint — otherwise the numbers
+    # describe a random-init model and 'weights' says so.
+    import os
     from paintmind_tpu.utils.metrics import psnr, rfid
-    real = rng.uniform(-1, 1, (64, 256, 256, 3)).astype(np.float32)
-    rec = np.concatenate([np.asarray(vq.reconstruct(real[i:i + 16]),
+    real = _quality_images(rng_seed=123, n=64)
+    ckpt = os.environ.get('PM_BENCH_VQGAN')
+    if not ckpt:
+        cand = os.path.join(os.path.dirname(pm.__file__), 'assets',
+                            'vit_vq_photo.npz')
+        ckpt = cand if os.path.exists(cand) else None
+    if ckpt:
+        vq_q = pm.create_model(arch='vqgan', version='vit-s-vqgan',
+                               pretrained=False, checkpoint_path=ckpt,
+                               compute_dtype=jnp.bfloat16)
+        weights = f'trained({os.path.basename(ckpt)})'
+    else:
+        vq_q, weights = vq, 'random-init'
+    rec = np.concatenate([np.asarray(vq_q.reconstruct(real[i:i + 16]),
                                      np.float32)
-                          for i in range(0, 64, 16)])
+                          for i in range(0, len(real), 16)])
     val, variant = rfid(real, rec)
     report['7_quality'] = {'rec_psnr_db': psnr(rec, real),
-                           'rfid': val, 'rfid_variant': variant}
+                           'rfid': val, 'rfid_variant': variant,
+                           'weights': weights, 'images': 'reference photos'}
 
     print(json.dumps(report, indent=2))
     with open('bench_report.json', 'w') as f:
