@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -208,12 +209,23 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
     if neg_context is not None:
         # negative-prompt guidance (extension): the unguided branch attends
         # to the negative caption instead of self-attending — both branches
-        # are then ordinary conditional passes, batched into one call
-        both = cond_transformer_apply(
-            params['transformer'], jnp.concatenate([tokens, tokens], axis=0),
-            jnp.concatenate([context, neg_context], axis=0), cfg=cfg.tcfg,
-            backend=backend, act_sharding=act_sharding)
-        cond, uncond = both[:b], both[b:]
+        # are ordinary conditional passes.  Same batch-size gate as the
+        # plain-CFG fused path below: one 2B call only wins while the
+        # matmuls are under-batched (measured −5% at B≥16).
+        if b <= 8:
+            both = cond_transformer_apply(
+                params['transformer'],
+                jnp.concatenate([tokens, tokens], axis=0),
+                jnp.concatenate([context, neg_context], axis=0),
+                cfg=cfg.tcfg, backend=backend, act_sharding=act_sharding)
+            cond, uncond = both[:b], both[b:]
+        else:
+            cond = cond_transformer_apply(
+                params['transformer'], tokens, context, cfg=cfg.tcfg,
+                backend=backend, act_sharding=act_sharding)
+            uncond = cond_transformer_apply(
+                params['transformer'], tokens, neg_context, cfg=cfg.tcfg,
+                backend=backend, act_sharding=act_sharding)
         return uncond + guidance_scale * (cond - uncond)
     if b <= 8:
         # fused CFG: one 2B pass — heavy matmuls batch across both branches,
@@ -371,9 +383,9 @@ class Pipeline:
         self.vqgan.params = self.params['vqgan']
 
         self.text_model = None
-        if text_encoder == 'auto':
-            pass  # lazy: constructed on first text use
-        elif text_encoder is not None:
+        self._text_lock = threading.Lock()
+        self._text_disabled = text_encoder is None
+        if text_encoder not in ('auto', None):
             self.text_model = text_encoder
 
         self.mask_token_id = cfg.mask_token_id
@@ -404,10 +416,16 @@ class Pipeline:
         return sub
 
     def _get_text_model(self):
-        if self.text_model is None:
-            from .t5 import T5TextEncoder, T5_VERSIONS
-            version, _ = T5_VERSIONS[self.config.t5]
-            self.text_model = T5TextEncoder(version)
+        if self._text_disabled:
+            raise RuntimeError(
+                'this pipeline was built with text_encoder=None (text '
+                'disabled) — pass precomputed context embeddings, or '
+                "construct with text_encoder='auto'")
+        with self._text_lock:  # serving submits from concurrent threads
+            if self.text_model is None:
+                from .t5 import T5TextEncoder, T5_VERSIONS
+                version, _ = T5_VERSIONS[self.config.t5]
+                self.text_model = T5TextEncoder(version)
         return self.text_model
 
     def embed_text(self, text):
@@ -470,6 +488,14 @@ class Pipeline:
         image batch ('final').  ``cfg_warmup``: see generate_ids.
         ``negative_text`` (extension): caption(s) the guidance pushes away
         from, replacing the unconditional branch."""
+        if negative_text is not None:
+            if guidance_scale is None:
+                raise ValueError('negative_text requires guidance_scale — '
+                                 'without it the negative prompt would be '
+                                 'silently ignored')
+            if text is None:
+                raise ValueError('negative_text requires a (positive) text '
+                                 'condition to guide towards')
         context = self.embed_text(text)
         neg_context = self.embed_text(negative_text)
         if neg_context is not None and context is not None:

@@ -116,3 +116,25 @@ class NativeFolderLoader:
             self.close()
         except Exception:  # interpreter teardown
             pass
+
+
+def make_split_loaders(paths, train_batch, valid_batch, *, valid_size=32,
+                       seed=42, hflip=True, img_size=256, num_workers=None):
+    """Deterministic train/valid split over JPEG ``paths`` → a shuffling
+    train loader + an eval-transform valid loader (the native counterpart
+    of the trainers' random_split + two DataLoaders)."""
+    paths = [p for p in paths if p.lower().endswith(('.jpg', '.jpeg'))]
+    if not paths:
+        raise ValueError('no JPEG paths for the native loader')
+    perm = np.random.default_rng(seed).permutation(len(paths))
+    valid_n = min(valid_size, max(len(paths) // 10, 1))
+    train = NativeFolderLoader(
+        [paths[i] for i in perm[valid_n:]], train_batch, img_size=img_size,
+        is_train=True, hflip=hflip, seed=seed, num_workers=num_workers)
+    valid = NativeFolderLoader(
+        [paths[i] for i in perm[:valid_n]], min(valid_batch, valid_n),
+        img_size=img_size, is_train=False, drop_last=False,
+        num_workers=num_workers)
+    print(f'native loader: {len(paths) - valid_n} train / {valid_n} valid '
+          'JPEGs')
+    return train, valid

@@ -172,8 +172,8 @@ class GenerationEngine:
             except queue.Empty:
                 break
             if item is None:  # close requested: finish this group first
-                self._queue.put(None)
-                break
+                stash.append(None)  # re-queued AFTER earlier arrivals so
+                break               # pre-close submissions still drain
             if item[0].signature() == sig:
                 group.append(item)
             else:

@@ -118,7 +118,7 @@ def make_server(engine, host='127.0.0.1', port=8000, defaults=None):
         def handle_error(self, request, client_address):
             # client hangups (ConnectionResetError at teardown) are routine
             import sys
-            exc = sys.exception()
+            exc = sys.exc_info()[1]  # sys.exception() needs 3.11+
             if not isinstance(exc, (ConnectionError, BrokenPipeError)):
                 super().handle_error(request, client_address)
 

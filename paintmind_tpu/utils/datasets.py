@@ -254,3 +254,32 @@ class CelebA:
         if self.transform is not None:
             img = self.transform(img)
         return img, np.int64(ident)
+
+
+IMAGE_EXTS = ('.jpg', '.jpeg', '.png')
+
+
+def folder_paths(root, exts=IMAGE_EXTS):
+    """Sorted image paths directly under ``root`` (extension extension —
+    the reference has no plain-folder adapter)."""
+    return [os.path.join(root, f) for f in sorted(os.listdir(root))
+            if f.lower().endswith(exts)]
+
+
+class ImageFolder:
+    """Caption-less flat folder of images → transformed image per item.
+    Shared by the training CLIs (stage-1 images-only contract,
+    reference README.md:77) and usable for unconditional stage-2 runs."""
+
+    def __init__(self, root, transform=None, exts=IMAGE_EXTS):
+        self.paths = folder_paths(root, exts)
+        if not self.paths:
+            raise ValueError(f'no images ({", ".join(exts)}) under {root}')
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        img = _open_rgb(self.paths[i])
+        return self.transform(img) if self.transform else img

@@ -389,6 +389,8 @@ class PaintMindTrainer(_TrainerBase):
             train_size = len(dataset) - valid_size
             self.train_ds, self.valid_ds = random_split(
                 dataset, [train_size, valid_size], seed=seed)
+            print(f'train dataset size: {train_size}, '
+                  f'valid dataset size: {valid_size}')
             # batch_size·accum images per host step → one update sees the
             # same effective batch as the reference's accumulate() recipe.
             self.train_dl = DataLoader(self.train_ds,
@@ -435,7 +437,6 @@ class PaintMindTrainer(_TrainerBase):
         n_train = sum(x.size for x in jax.tree_util.tree_leaves(
             model.params['transformer'])) + model.params['mask_token'].size
         print(f'number of learnable parameters: {n_train // int(1e6)}M')
-        print(f'train dataset size: {train_size}, valid dataset size: {valid_size}')
 
     def _embed(self, text):
         """captions → (B, 77, t5_dim) embeddings (frozen tower, host call)."""

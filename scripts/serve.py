@@ -29,10 +29,12 @@ def main():
     args = p.parse_args()
 
     import jax.numpy as jnp
+    from paintmind_tpu.config import Config, ver2cfg
     from paintmind_tpu.models.pipeline import Pipeline
     from paintmind_tpu.serving import serve
 
     pipe = Pipeline(
+        config=Config(ver2cfg[args.version]),
         stage1_pretrained=False,
         stage1_checkpoint_path=args.stage1_checkpoint,
         text_encoder=None if args.no_text_encoder else 'auto',

@@ -64,23 +64,8 @@ def main():
         dataset = DiffusionDB(root or 'large_random_100k',
                               transform=transform)
     elif kind == 'folder':
-        import os
-        from PIL import Image
-
-        class Folder:
-            def __init__(self, d):
-                self.paths = [os.path.join(d, f)
-                              for f in sorted(os.listdir(d))
-                              if f.lower().endswith(('.jpg', '.jpeg',
-                                                     '.png'))]
-
-            def __len__(self):
-                return len(self.paths)
-
-            def __getitem__(self, i):
-                return transform(Image.open(self.paths[i]).convert('RGB'))
-
-        dataset = Folder(root)
+        from paintmind_tpu.utils.datasets import ImageFolder
+        dataset = ImageFolder(root, transform=transform)
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
@@ -88,23 +73,13 @@ def main():
     if args.native_loader:
         if kind != 'folder':
             raise SystemExit('--native-loader needs a folder:<dir> dataset')
-        import numpy as np
-        from paintmind_tpu.native.fastloader import NativeFolderLoader
-        paths = [p for p in dataset.paths
-                 if p.lower().endswith(('.jpg', '.jpeg'))]
-        perm = np.random.default_rng(42).permutation(len(paths))
-        valid_n = min(args.valid_size, max(len(paths) // 10, 1))
+        from paintmind_tpu.native.fastloader import make_split_loaders
         # hflip=False: stage-2 transform parity (no flip; reference
         # transform.py:23-34 — flips would break text-image alignment)
-        train_loader = NativeFolderLoader(
-            [paths[i] for i in perm[valid_n:]],
-            args.batch_size * args.grad_accum, is_train=True, seed=42,
-            hflip=False, num_workers=args.num_workers)
-        valid_loader = NativeFolderLoader(
-            [paths[i] for i in perm[:valid_n]], valid_n, is_train=False,
-            drop_last=False, num_workers=args.num_workers)
-        print(f'native loader: {len(paths) - valid_n} train / '
-              f'{valid_n} valid JPEGs')
+        train_loader, valid_loader = make_split_loaders(
+            dataset.paths, args.batch_size * args.grad_accum,
+            args.batch_size, valid_size=args.valid_size, hflip=False,
+            num_workers=args.num_workers)
 
     model = pm.create_pipeline_for_train(
         version=args.version,

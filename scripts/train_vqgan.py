@@ -58,20 +58,8 @@ def main():
         from paintmind_tpu.utils.datasets import CoCo
         dataset = CoCo(root, transform=transform)
     elif kind == 'folder':
-        from PIL import Image
-
-        class Folder:
-            def __init__(self, d):
-                self.paths = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                              if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
-
-            def __len__(self):
-                return len(self.paths)
-
-            def __getitem__(self, i):
-                return transform(Image.open(self.paths[i]).convert('RGB'))
-
-        dataset = Folder(root)
+        from paintmind_tpu.utils.datasets import ImageFolder
+        dataset = ImageFolder(root, transform=transform)
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
@@ -79,22 +67,10 @@ def main():
     if args.native_loader:
         if kind != 'folder':
             raise SystemExit('--native-loader needs a folder:<dir> dataset')
-        import numpy as np
-        from paintmind_tpu.native.fastloader import NativeFolderLoader
-        paths = sorted(os.path.join(root, f) for f in os.listdir(root)
-                       if f.lower().endswith(('.jpg', '.jpeg')))
-        perm = np.random.default_rng(42).permutation(len(paths))
-        valid_n = min(32, max(len(paths) // 10, 1))
-        train_loader = NativeFolderLoader(
-            [paths[i] for i in perm[valid_n:]],
-            args.batch_size * args.grad_accum, is_train=True, seed=42,
-            num_workers=args.num_workers)
-        valid_loader = NativeFolderLoader(
-            [paths[i] for i in perm[:valid_n]],
-            min(args.batch_size, valid_n), is_train=False, drop_last=False,
-            num_workers=args.num_workers)
-        print(f'native loader: {len(paths) - valid_n} train / '
-              f'{valid_n} valid JPEGs')
+        from paintmind_tpu.native.fastloader import make_split_loaders
+        train_loader, valid_loader = make_split_loaders(
+            dataset.paths, args.batch_size * args.grad_accum,
+            args.batch_size, num_workers=args.num_workers)
 
     model = pm.create_model(arch='vqgan', version=args.version,
                             pretrained=False)

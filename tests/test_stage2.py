@@ -372,3 +372,25 @@ def test_sample_step_matches_numpy_reference_transcription(pipe_params):
         top = np.argsort(-scores[i], kind='stable')[:n_masked]
         expected[i, top] = cfg.mask_token_id
     assert np.array_equal(np.asarray(ids_next), expected)
+
+
+def test_negative_text_requires_guidance(pipe_params):
+    """Regression: negative_text with no guidance_scale used to be silently
+    dropped (logits path returns before the neg branch)."""
+    pipe = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                       text_encoder=None, params=pipe_params)
+    ctx = np.zeros((1, 5, 48), np.float32)
+    neg = np.zeros((1, 5, 48), np.float32)
+    with pytest.raises(ValueError, match='guidance_scale'):
+        pipe.generate(text=ctx, negative_text=neg, timesteps=2)
+    with pytest.raises(ValueError, match='positive'):
+        pipe.generate(negative_text=neg, guidance_scale=2.0, timesteps=2)
+
+
+def test_text_disabled_pipeline_rejects_prompts(pipe_params):
+    """text_encoder=None means disabled: string prompts must fail loudly
+    instead of lazily constructing a multi-GB T5."""
+    pipe = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                       text_encoder=None, params=pipe_params)
+    with pytest.raises(RuntimeError, match='text_encoder=None'):
+        pipe.generate(text=['a prompt'], timesteps=2)

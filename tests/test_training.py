@@ -491,3 +491,43 @@ def test_vqgan_trainer_with_external_native_loader(tmp_path):
                      mixed_precision='no', result_folder=str(tmp_path),
                      perceptual_weights='none', disc_config=DCFG,
                      train_loader=train_loader)
+
+
+def test_paintmind_trainer_with_external_native_loader(tmp_path):
+    """Regression: constructing PaintMindTrainer with external loaders must
+    not hit the dataset-split path (NameError on train_size) and must train
+    unconditionally through the native loader."""
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from paintmind_tpu.native import fastimage
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    if not fastimage.is_available():
+        pytest.skip('native toolchain unavailable')
+    from PIL import Image
+    from paintmind_tpu.native.fastloader import make_split_loaders
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / 'jpegs'
+    d.mkdir()
+    for i in range(20):
+        Image.fromarray(rng.integers(0, 255, (40, 44, 3), dtype=np.uint8),
+                        'RGB').save(d / f'{i:02d}.jpg', quality=92)
+    train_loader, valid_loader = make_split_loaders(
+        sorted(str(p) for p in d.iterdir()), train_batch=8, valid_batch=2,
+        valid_size=2, img_size=32, hflip=False, num_workers=2)
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=1,
+                         dropout=0.0, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48)
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None)
+    trainer = PaintMindTrainer(
+        pipe, dataset=None, num_epoch=1, optim_name='lion', lr=1e-3,
+        warmup_steps=1, decay_steps=10, batch_size=8, grad_accum_steps=1,
+        mixed_precision='no', save_every=100, sample_every=100,
+        result_folder=str(tmp_path), log_dir=str(tmp_path / 'log'),
+        train_loader=train_loader, valid_loader=valid_loader)
+    trainer.train()
+    assert trainer.steps == 2  # 18 train imgs // 8 = 2 host steps
+    assert np.isfinite(trainer.log['loss'])
