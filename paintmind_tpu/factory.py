@@ -30,10 +30,15 @@ def create_model(arch='pipeline', version='paintmindv1', pretrained=True,
     else:
         raise ValueError(f"unknown arch {arch!r}; expected 'vqgan' or 'pipeline'")
 
-    if pretrained:
-        if checkpoint_path is None:
-            checkpoint_path = _hub_download(version)
+    # An explicit local checkpoint_path always loads — silently ignoring it
+    # when pretrained=False was a footgun (callers built random-weight
+    # models believing their checkpoint was in use).  `pretrained` keeps
+    # its reference meaning: fetch the published weights when no local
+    # path is given (reference factory.py:16-19).
+    if checkpoint_path is not None:
         model.from_pretrained(checkpoint_path)
+    elif pretrained:
+        model.from_pretrained(_hub_download(version))
 
     return model
 

@@ -120,3 +120,31 @@ def test_reconstruction_with_model(tmp_path):
     z, _, _ = model.encode(x[None])
     rec = model.decode(z)
     assert rec.shape == (1, 32, 32, 3)
+
+
+def test_factory_loads_explicit_checkpoint_even_when_pretrained_false(tmp_path):
+    """Regression: an explicit checkpoint_path must load regardless of the
+    `pretrained` flag (it used to be silently ignored with
+    pretrained=False, leaving callers on random weights)."""
+    import paintmind_tpu as pm
+    import paintmind_tpu.config as pmc
+
+    version = 'test-vqgan-factory'
+    pmc.register_version(version, {
+        'n_embed': 32, 'embed_dim': 8, 'beta': 0.25,
+        'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+                'num_head': 2, 'mlp_dim': 64, 'in_channels': 3,
+                'dim_head': 16, 'dropout': 0.0},
+        'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+                'num_head': 2, 'mlp_dim': 64, 'out_channels': 3,
+                'dim_head': 16, 'dropout': 0.0}})
+    src = pm.create_model(arch='vqgan', version=version, pretrained=False,
+                          seed=7)
+    ckpt = str(tmp_path / 'w.npz')
+    src.save_pretrained(ckpt)
+
+    dst = pm.create_model(arch='vqgan', version=version, pretrained=False,
+                          checkpoint_path=ckpt, seed=11)
+    a = np.asarray(src.params['quantize']['codebook'])
+    b = np.asarray(dst.params['quantize']['codebook'])
+    np.testing.assert_array_equal(a, b)
