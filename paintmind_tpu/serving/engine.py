@@ -65,6 +65,30 @@ class ReconstructRequest:
         return ('reconstruct',) + tuple(np.asarray(self.image).shape)
 
 
+@dataclasses.dataclass
+class PaintRequest:
+    """Inpaint (regenerate inside ``coord``) or outpaint (outside).
+    ``coord`` is a pixel rect (x, y, h, w); per-request rects change the
+    latent mask, so paint requests run one per batch (mode + coord are part
+    of the signature)."""
+    image: object = None
+    coord: tuple = (0, 0, 0, 0)
+    mode: str = 'inpaint'  # or 'outpaint'
+    context: object = None
+    text: str | None = None
+    timesteps: int = 8
+    topk: int = 1
+    temperature: float = 0.0
+    guidance_scale: float | None = None
+    seed: int | None = None
+
+    def signature(self):
+        ctx_len = None if self.context is None else int(self.context.shape[0])
+        return ('paint', self.mode, tuple(self.coord), ctx_len,
+                self.timesteps, self.topk, self.temperature,
+                self.guidance_scale)
+
+
 def _bucket(n, max_batch):
     return min(1 << max(0, math.ceil(math.log2(max(n, 1)))), max_batch)
 
@@ -100,8 +124,8 @@ class GenerationEngine:
     def submit(self, request) -> Future:
         if self._closed:
             raise RuntimeError('engine is closed')
-        if isinstance(request, GenerateRequest) and request.text is not None \
-                and request.context is None:
+        if isinstance(request, (GenerateRequest, PaintRequest)) \
+                and request.text is not None and request.context is None:
             # encode text on the caller's thread; sampling stays batched
             ctx = self.pipeline.embed_text([request.text])
             request = dataclasses.replace(
@@ -186,6 +210,8 @@ class GenerationEngine:
         try:
             if sig[0] == 'generate':
                 outs = self._run_generate([r for r, _, _ in group])
+            elif sig[0] == 'paint':
+                outs = self._run_paint([r for r, _, _ in group])
             else:
                 outs = self._run_reconstruct([r for r, _, _ in group])
             err = None
@@ -229,6 +255,33 @@ class GenerationEngine:
             key=key)[-1]
         imgs = np.asarray(imgs, np.float32)
         return [imgs[i] for i in range(n)]
+
+    def _run_paint(self, reqs):
+        r0 = reqs[0]
+        n = len(reqs)
+        bucket = _bucket(n, self.max_batch)
+        with self._lock:
+            self._counters['padded_slots'] += bucket - n
+
+        def padded(rows):
+            arr = np.stack(rows)
+            if bucket > n:
+                pad = np.broadcast_to(arr[:1], (bucket - n,) + arr.shape[1:])
+                arr = np.concatenate([arr, pad], axis=0)
+            return arr
+
+        imgs = padded([np.asarray(r.image, np.float32) for r in reqs])
+        ctx = None
+        if r0.context is not None:
+            ctx = padded([np.asarray(r.context, np.float32) for r in reqs])
+        fn = (self.pipeline.inpaint if r0.mode == 'inpaint'
+              else self.pipeline.outpaint)
+        out = np.asarray(fn(
+            imgs, tuple(r0.coord), text=ctx, timesteps=r0.timesteps,
+            topk=r0.topk, temperature=r0.temperature,
+            guidance_scale=r0.guidance_scale, key=self._batch_key(reqs)),
+            np.float32)
+        return [out[i] for i in range(len(reqs))]
 
     def _run_reconstruct(self, reqs):
         imgs = np.stack([np.asarray(r.image, np.float32) for r in reqs])

@@ -14,6 +14,10 @@ Endpoints:
   POST /reconstruct   -> {"image": <base64 PNG>}   (any RGB image; it is
                          resized/cropped with the stage-1 eval transform)
                          returns {"image": <base64 PNG>}
+  POST /inpaint       -> {"image": <base64>, "coord": [x, y, h, w],
+  POST /outpaint          "prompt"?, "timesteps"?, "topk"?, ...}
+                         regenerate inside (inpaint) / outside (outpaint)
+                         the pixel rect; returns {"image": <base64 PNG>}
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from .engine import GenerateRequest, GenerationEngine, ReconstructRequest
+from .engine import (GenerateRequest, GenerationEngine, PaintRequest,
+                     ReconstructRequest)
 
 
 def _img_to_png_b64(img):
@@ -80,6 +85,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200, self._generate(req))
             if self.path == '/reconstruct':
                 return self._reply(200, self._reconstruct(req))
+            if self.path in ('/inpaint', '/outpaint'):
+                return self._reply(200, self._paint(req, self.path[1:]))
         except Exception as e:  # noqa: BLE001 — report, keep serving
             return self._reply(500, {'error': f'{type(e).__name__}: {e}'})
         return self._reply(404, {'error': f'unknown path {self.path}'})
@@ -96,6 +103,22 @@ class _Handler(BaseHTTPRequestHandler):
         img = self.engine.submit(GenerateRequest(
             text=req.get('prompt'), context=context, **kw)).result()
         return {'image': _img_to_png_b64(img)}
+
+    def _paint(self, req, mode):
+        for k in ('image', 'coord'):
+            if k not in req:
+                raise ValueError(f"missing '{k}' "
+                                 "(image: base64; coord: [x, y, h, w])")
+        x = _png_b64_to_img(req['image'], self.engine.pipeline.image_size)
+        context = req.get('context')
+        if context is not None:
+            context = np.asarray(context, np.float32)
+        kw = {k: req[k] for k in ('timesteps', 'topk', 'temperature',
+                                  'guidance_scale', 'seed') if k in req}
+        out = self.engine.submit(PaintRequest(
+            image=x, coord=tuple(req['coord']), mode=mode,
+            text=req.get('prompt'), context=context, **kw)).result()
+        return {'image': _img_to_png_b64(out)}
 
     def _reconstruct(self, req):
         if 'image' not in req:

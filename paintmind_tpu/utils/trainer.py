@@ -260,7 +260,7 @@ class VQGANTrainer(_TrainerBase):
 
     def train(self):
         self.log = Log()
-        writer = MetricWriter(self.log_dir, 'vqgan')
+        writer = self._writer = MetricWriter(self.log_dir, 'vqgan')
         for epoch in range(self.num_epoch):
             for batch in self.train_dl:
                 imgs = _first_images(batch)
@@ -340,13 +340,18 @@ class VQGANTrainer(_TrainerBase):
             from .metrics import codebook_stats
             stats = codebook_stats(np.concatenate(all_ids),
                                    self.vqvae.config.n_embed)
-            self.log.update({'codebook usage': stats['usage'],
-                             'codebook perplexity': stats['perplexity'],
-                             'val psnr': float(np.mean(psnrs))})
+            evals = {'codebook usage': stats['usage'],
+                     'codebook perplexity': stats['perplexity'],
+                     'val psnr': float(np.mean(psnrs))}
+            self.log.update(evals)
+            if getattr(self, '_writer', None) is not None:
+                self._writer.log(evals, self.steps)
         if self.eval_rfid and reals:
             from .metrics import rfid
             val, variant = rfid(np.concatenate(reals), np.concatenate(recs))
             self.log.update({f'val {variant}': val})
+            if getattr(self, '_writer', None) is not None:
+                self._writer.log({f'val {variant}': val}, self.steps)
 
 
 class PaintMindTrainer(_TrainerBase):
@@ -450,7 +455,7 @@ class PaintMindTrainer(_TrainerBase):
 
     def train(self):
         self.log = Log()
-        writer = MetricWriter(self.log_dir, 'paintmind')
+        writer = self._writer = MetricWriter(self.log_dir, 'paintmind')
         for epoch in range(self.num_epoch):
             for batch in self.train_dl:
                 imgs, text = batch if isinstance(batch, (tuple, list)) else (batch, None)

@@ -141,3 +141,46 @@ def test_http_server_endpoints(pipe):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_paint_requests_batch_and_return_images(pipe):
+    from paintmind_tpu.serving import PaintRequest
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=200) as eng:
+        futs = [eng.submit(PaintRequest(image=imgs[i], coord=(8, 8, 16, 16),
+                                        mode='inpaint', timesteps=2, topk=2))
+                for i in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+    assert all(o.shape == (32, 32, 3) for o in outs)
+    assert all(np.isfinite(o).all() for o in outs)
+    # same coord+mode signature → one padded batch
+    assert eng.stats()['batches'] == 1
+
+
+def test_http_paint_endpoint(pipe):
+    from PIL import Image
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=10) as eng:
+        httpd = make_server(eng, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            src = Image.fromarray(np.random.default_rng(5).integers(
+                0, 255, (32, 32, 3), dtype=np.uint8), 'RGB')
+            buf = io.BytesIO()
+            src.save(buf, format='PNG')
+            conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+            conn.request('POST', '/outpaint', json.dumps({
+                'image': base64.b64encode(buf.getvalue()).decode(),
+                'coord': [8, 8, 16, 16], 'timesteps': 2, 'topk': 2}),
+                {'Content-Type': 'application/json'})
+            out = json.loads(conn.getresponse().read())
+            img = Image.open(io.BytesIO(base64.b64decode(out['image'])))
+            assert img.size == (32, 32)
+            # missing coord -> 400-class error surface
+            conn.request('POST', '/inpaint', json.dumps({
+                'image': base64.b64encode(buf.getvalue()).decode()}))
+            assert conn.getresponse().status == 500
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
