@@ -252,7 +252,7 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
                 cfg: PipelineConfig, guidance_scale=None, backend=None,
                 dtype=None, sampler='auto', act_sharding=None,
-                neg_context=None):
+                neg_context=None, clamp_remask=False):
     """One MaskGIT step (reference Pipeline.sample, generate.py:159-181).
     Returns (ids_next, pred_ids).  ``n_masked`` may be a traced int scalar —
     the re-mask uses a full static sort + rank threshold so the whole loop
@@ -287,7 +287,18 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
     ids_filled = jnp.where(is_mask, pred_ids, ids)
     scores = jnp.where(is_mask, 1.0 - conf, -1e5)  # (generate.py:170-173)
 
-    # re-mask the n_masked lowest-confidence masked positions
+    # re-mask the n_masked lowest-confidence masked positions.
+    # clamp_remask (paint path): clamp to the per-sample masked count — the
+    # reference's -1e5 sentinel (not -inf, generate.py:173) lets KEPT tokens
+    # be re-masked whenever n_masked exceeds the masked count.  That never
+    # binds for generate() (the schedule decreases from all-masked; default
+    # off keeps exact reference math) but is destructive for inpaint/
+    # outpaint with timesteps>1, where it would regenerate the keep region.
+    if clamp_remask:
+        n_masked = jnp.minimum(n_masked,
+                               jnp.sum(is_mask, axis=1, dtype=jnp.int32))
+        n_masked = n_masked.reshape(-1, 1)  # per-sample threshold
+
     _, order = jax.lax.top_k(scores, l)  # descending by score
     ranked_vals = jnp.take_along_axis(ids_filled, order, axis=1)
     new_vals = jnp.where(jnp.arange(l)[None, :] < n_masked,
@@ -308,11 +319,12 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 @functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
                                              'guidance_scale', 'backend',
                                              'dtype', 'sampler',
-                                             'cfg_warmup', 'act_sharding'))
+                                             'cfg_warmup', 'act_sharding',
+                                             'clamp_remask'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
                  backend=None, dtype=None, sampler='auto', cfg_warmup=0.0,
-                 act_sharding=None, neg_context=None):
+                 act_sharding=None, neg_context=None, clamp_remask=False):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L)).
 
@@ -338,7 +350,7 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                 temperature=temp, topk=topk, cfg=cfg,
                 guidance_scale=scale, backend=backend, dtype=dtype,
                 sampler=sampler, act_sharding=act_sharding,
-                neg_context=neg_context)
+                neg_context=neg_context, clamp_remask=clamp_remask)
             return ids_next, pred
         return body
 
@@ -546,11 +558,19 @@ class Pipeline:
         _, ids, context = self.to_latent(img, text)
         ids = jnp.where(keep_mask.astype(bool), ids,
                         jnp.asarray(self.mask_token_id, ids.dtype))
-        _, preds = generate_ids(
+        final_ids, preds = generate_ids(
             self.params, self._next_key(key), ids, context, cfg=self.config,
             timesteps=timesteps, temperature=temperature, topk=topk,
-            guidance_scale=guidance_scale, dtype=self.compute_dtype)
-        return self.vqgan.decode_from_indice(preds[-1])
+            guidance_scale=guidance_scale, dtype=self.compute_dtype,
+            clamp_remask=True)
+        # decode the MERGED ids: kept positions keep the original content
+        # (the generate() path decodes raw per-step predictions for parity
+        # with the reference, but painting must preserve the keep region);
+        # the schedule leaves ≥1 position masked after the final re-mask —
+        # fill those from the last prediction
+        merged = jnp.where(final_ids == self.mask_token_id, preds[-1],
+                           final_ids)
+        return self.vqgan.decode_from_indice(merged)
 
     def inpaint(self, img, coord, text=None, timesteps=1, topk=1,
                 temperature=0.0, key=None, guidance_scale=None):

@@ -21,8 +21,23 @@ _ACTIVE_MESH = None
 
 
 def set_active_mesh(mesh):
-    """Register the mesh the current program runs under (None to clear)."""
+    """Register the mesh the current program runs under (None to clear).
+
+    The registry is consulted at TRACE time inside callers' jits, so a
+    cached trace bakes in the mesh that was active when it compiled.
+    Changing the active mesh therefore drops all jit caches — otherwise a
+    function first traced without a mesh would keep running its unsharded
+    (all-gathering) trace after the mesh is registered, and vice versa.
+    Mesh changes are rare (trainer/serving startup), so the recompile cost
+    is paid once, not per step."""
     global _ACTIVE_MESH
+    if mesh is not _ACTIVE_MESH:
+        same = (_ACTIVE_MESH is not None and mesh is not None
+                and _ACTIVE_MESH.shape == mesh.shape
+                and _ACTIVE_MESH.devices.tolist() == mesh.devices.tolist())
+        if not same:
+            import jax
+            jax.clear_caches()
     _ACTIVE_MESH = mesh
 
 
@@ -35,6 +50,10 @@ def active_mesh():
 
 @contextlib.contextmanager
 def use_mesh(mesh):
+    """Scoped mesh registration (tests/tools).  Unlike set_active_mesh this
+    does NOT drop jit caches — callers that re-trace the same function with
+    identical shapes under a different mesh must clear caches themselves
+    (jax.clear_caches()); the test suite uses per-case functions/shapes."""
     global _ACTIVE_MESH
     prev = _ACTIVE_MESH
     _ACTIVE_MESH = mesh

@@ -107,7 +107,6 @@ class GenerationEngine:
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._queue = queue.SimpleQueue()
-        self._pending = {}  # signature -> list[(req, future, t_submit)]
         self._lock = threading.Lock()
         self._closed = False
         self._latencies = deque(maxlen=latency_window)
@@ -180,8 +179,8 @@ class GenerationEngine:
 
     def _collect_group(self, first):
         """Gather requests sharing ``first``'s signature until the bucket is
-        full or ``max_wait`` has passed; stash incompatible arrivals back in
-        ``_pending`` order via re-queue."""
+        full or ``max_wait`` has passed; incompatible arrivals are re-queued
+        in their original order and picked up by the next group."""
         req, fut, t0 = first
         sig = req.signature()
         group = [(req, fut, t0)]

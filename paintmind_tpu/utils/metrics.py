@@ -79,14 +79,24 @@ def fid(real_features, fake_features):
     return frechet_distance(mu1, s1, mu2, s2)
 
 
+_EXTRACTOR_CACHE = {}
+
+
 def inception_extractor(weights='auto'):
     """Returns (features_fn images→(N,2048), variant_str).
 
     weights: 'auto' = converted InceptionV3 npz from assets/ when present,
     else the fixed-seed random-feature substitute ('rfid-rand', deterministic
     and internally consistent but NOT literature-comparable — see
-    models/inception.py); a path loads that npz."""
+    models/inception.py); a path loads that npz.
+
+    Memoized per weights spec: rfid() runs inside training eval loops and
+    must not re-initialize the ~24M-param network every call."""
     import os
+
+    if weights in _EXTRACTOR_CACHE:
+        return _EXTRACTOR_CACHE[weights]
+    cache_key = weights
 
     from ..models import inception as inc
     default = os.path.join(os.path.dirname(__file__), '..', 'assets',
@@ -104,6 +114,7 @@ def inception_extractor(weights='auto'):
                for i in range(0, imgs.shape[0], batch)]
         return np.concatenate(out, axis=0)
 
+    _EXTRACTOR_CACHE[cache_key] = (features, variant)
     return features, variant
 
 

@@ -49,9 +49,13 @@ def main():
     args = p.parse_args()
 
     import paintmind_tpu as pm
+    from paintmind_tpu.config import ver2cfg
     from paintmind_tpu.utils.transform import stage2_transform
 
-    transform = stage2_transform(is_train=True)
+    # image size follows the version's stage-1 tokenizer config
+    stage1_version = ver2cfg[args.version]['stage1']
+    img_size = ver2cfg[stage1_version]['enc']['image_size']
+    transform = stage2_transform(img_size=img_size, is_train=True)
     kind, _, root = args.dataset.partition(':')
     if kind == 'coco':
         from paintmind_tpu.utils.datasets import CoCo
@@ -79,7 +83,7 @@ def main():
         train_loader, valid_loader = make_split_loaders(
             dataset.paths, args.batch_size * args.grad_accum,
             args.batch_size, valid_size=args.valid_size, hflip=False,
-            num_workers=args.num_workers)
+            img_size=img_size, num_workers=args.num_workers)
 
     model = pm.create_pipeline_for_train(
         version=args.version,

@@ -47,9 +47,12 @@ def main():
     args = p.parse_args()
 
     import paintmind_tpu as pm
+    from paintmind_tpu.config import ver2cfg
     from paintmind_tpu.utils.transform import stage1_transform
 
-    transform = stage1_transform(is_train=True)
+    # image size follows the version config (e.g. vit-s-vqgan-512)
+    img_size = ver2cfg[args.version]['enc']['image_size']
+    transform = stage1_transform(img_size=img_size, is_train=True)
     kind, _, root = args.dataset.partition(':')
     if kind == 'imagenet':
         from paintmind_tpu.utils.datasets import ImageNet
@@ -70,7 +73,8 @@ def main():
         from paintmind_tpu.native.fastloader import make_split_loaders
         train_loader, valid_loader = make_split_loaders(
             dataset.paths, args.batch_size * args.grad_accum,
-            args.batch_size, num_workers=args.num_workers)
+            args.batch_size, img_size=img_size,
+            num_workers=args.num_workers)
 
     model = pm.create_model(arch='vqgan', version=args.version,
                             pretrained=False)

@@ -394,3 +394,33 @@ def test_text_disabled_pipeline_rejects_prompts(pipe_params):
                        text_encoder=None, params=pipe_params)
     with pytest.raises(RuntimeError, match='text_encoder=None'):
         pipe.generate(text=['a prompt'], timesteps=2)
+
+
+def test_paint_preserves_kept_region(pipe_params):
+    """Regression: with a partially-masked start and timesteps>1, the
+    cosine-schedule re-mask used to exceed the masked count and re-mask
+    KEPT tokens (the reference's -1e5-not-inf quirk, generate.py:173),
+    regenerating content outside the paint region."""
+    pipe = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                       text_encoder=None, params=pipe_params)
+    rng = np.random.default_rng(0)
+    l = SMALL_PIPE.num_tokens
+    ids0 = jnp.asarray(rng.integers(0, 64, (2, l)), jnp.int32)
+    keep = jnp.asarray((np.arange(l) % 4 != 0)[None, :])  # keep 3/4
+    init = jnp.where(keep, ids0, SMALL_PIPE.mask_token_id)
+    final, preds = pl.generate_ids(
+        pipe.params, jax.random.PRNGKey(1), init, None, cfg=SMALL_PIPE,
+        timesteps=4, topk=2, clamp_remask=True)
+    final = np.asarray(final)
+    # every kept position still holds its original id
+    keep_np = np.broadcast_to(np.asarray(keep), final.shape)
+    np.testing.assert_array_equal(final[keep_np], np.asarray(ids0)[keep_np])
+    # masked positions were filled with real codebook ids (≤1 may remain
+    # masked after the final re-mask, by schedule construction)
+    still_masked = (final == SMALL_PIPE.mask_token_id).sum(axis=1)
+    assert (still_masked <= 1).all()
+    # the object-level paint API decodes without touching the keep region
+    img = pipe.inpaint(np.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)),
+                                  np.float32), (8, 8, 16, 16), timesteps=3,
+                       topk=2)
+    assert np.asarray(img).shape == (1, 32, 32, 3)
