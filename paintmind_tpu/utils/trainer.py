@@ -519,9 +519,12 @@ class PaintMindTrainer(_TrainerBase):
         for i, batch in enumerate(self.valid_dl):
             imgs, text = batch if isinstance(batch, (tuple, list)) else (batch, None)
             context = self._embed(text)
+            # caption-less datasets eval unconditionally — still sample a
+            # full batch (generate defaults to ONE sample with no context)
             gens = self.model.generate(text=context, timesteps=18,
                                        temperature=1.0, topk=5,
-                                       save_interval=2)
+                                       save_interval=2,
+                                       num_samples=len(imgs))
             all_imgs = np.concatenate(
                 [np.asarray(imgs, np.float32)]
                 + [np.asarray(g, np.float32) for g in gens], axis=0)
