@@ -54,9 +54,24 @@ def sequence_sharding(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Host batch → device array sharded along the data axis (leading dim)."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+    """Host batch → device array sharded along the data axis (leading dim).
+
+    Already-device-resident arrays with an equivalent placement (e.g. from
+    utils.device_cache) pass through untouched: re-putting them would
+    round-trip through the host on remote-TPU runtimes — per-step transfer
+    cost plus the client-side buffer retention documented in device_cache."""
+    target = {}
+
+    def put(x):
+        nd = np.ndim(x)
+        if nd not in target:
+            target[nd] = data_sharding(mesh, nd)
+        if isinstance(x, jax.Array) and \
+                x.sharding.is_equivalent_to(target[nd], nd):
+            return x
+        return jax.device_put(x, target[nd])
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,12 @@ def masked_p_generator():
 
 def _first_images(batch):
     imgs = batch[0] if isinstance(batch, (tuple, list)) else batch
+    if isinstance(imgs, jax.Array):
+        # device-resident batches (utils.device_cache) stay on device — an
+        # np.asarray here would fetch the full batch to host every step and
+        # shard_batch would re-upload it (double transfer, plus the remote-
+        # client buffer retention documented in device_cache)
+        return imgs
     return np.asarray(imgs, np.float32)
 
 
@@ -462,7 +468,7 @@ class PaintMindTrainer(_TrainerBase):
                 if pyrandom.random() < self.cfg_p:  # CFG dropout (ref :387-388)
                     text = None
                 context = self._embed(text)
-                imgs = shard_batch(np.asarray(imgs, np.float32), self.mesh)
+                imgs = shard_batch(_first_images(imgs), self.mesh)
                 if context is not None:
                     context = shard_batch(np.asarray(context, np.float32),
                                           self.mesh)

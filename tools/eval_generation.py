@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Grade a stage-2 pipeline checkpoint: sample N images (16-step MaskGIT),
+save a grid, and compute generation FID against real-photo crops.
+
+Usage:
+  python tools/eval_generation.py --checkpoint results/.../paintmind_step_6000.npz \
+      --stage1-checkpoint results/.../vit_vq_step_16000.npz --n 64
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--checkpoint', required=True,
+                    help='pipeline checkpoint (npz/orbax)')
+    ap.add_argument('--stage1-checkpoint', default=None,
+                    help='only needed when the pipeline checkpoint does not '
+                         'embed the vqgan tower')
+    ap.add_argument('--version', default='paintmindv1')
+    ap.add_argument('--n', type=int, default=64)
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--timesteps', type=int, default=16)
+    ap.add_argument('--topk', type=int, default=5)
+    ap.add_argument('--grid-out', default='gen_grid.png')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from paintmind_tpu.config import Config, ver2cfg
+    from paintmind_tpu.models.pipeline import Pipeline
+    from paintmind_tpu.utils.image_grid import save_image_grid
+    from paintmind_tpu.utils.metrics import fid, inception_extractor
+    from full_bench import _quality_images
+
+    pipe = Pipeline(config=Config(ver2cfg[args.version]),
+                    stage1_pretrained=False,
+                    stage1_checkpoint_path=args.stage1_checkpoint,
+                    text_encoder=None, compute_dtype=jnp.bfloat16)
+    pipe.from_pretrained(args.checkpoint)
+
+    samples = []
+    for i in range(0, args.n, args.batch):
+        b = min(args.batch, args.n - i)
+        out = pipe.generate(num_samples=b, timesteps=args.timesteps,
+                            topk=args.topk, decode_steps='final',
+                            key=jax.random.PRNGKey(100 + i))[-1]
+        samples.append(np.asarray(out, np.float32))
+    gen = np.concatenate(samples)[:args.n]
+
+    save_image_grid(gen[:36], args.grid_out)
+    real = _quality_images(rng_seed=123, n=args.n)
+    features, variant = inception_extractor()
+    val = fid(features(real), features(gen))
+    print(json.dumps({
+        'checkpoint': args.checkpoint, 'n': args.n,
+        'gen_fid': val, 'fid_variant': variant.replace('rfid', 'fid'),
+        'grid': args.grid_out,
+    }, indent=2))
+
+
+if __name__ == '__main__':
+    main()
