@@ -46,6 +46,9 @@ def main():
     p.add_argument('--native-loader', action='store_true',
                    help='use the C++ pipelined loader (folder:<dir> of '
                         'JPEGs only; unconditional)')
+    p.add_argument('--device-cache', action='store_true',
+                   help='cache the whole corpus in HBM (uint8) and augment '
+                        'on device (folder:<dir>; unconditional)')
     args = p.parse_args()
 
     import paintmind_tpu as pm
@@ -74,12 +77,20 @@ def main():
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
     train_loader = valid_loader = None
-    if args.native_loader:
+    # hflip=False in both fast paths: stage-2 transform parity (no flip;
+    # reference transform.py:23-34 — flips would break text-image alignment)
+    if args.device_cache:
+        if kind != 'folder':
+            raise SystemExit('--device-cache needs a folder:<dir> dataset')
+        from paintmind_tpu.utils.device_cache import make_split_cache_loaders
+        train_loader, valid_loader = make_split_cache_loaders(
+            dataset.paths, args.batch_size * args.grad_accum,
+            args.batch_size, valid_size=args.valid_size, hflip=False,
+            img_size=img_size)
+    elif args.native_loader:
         if kind != 'folder':
             raise SystemExit('--native-loader needs a folder:<dir> dataset')
         from paintmind_tpu.native.fastloader import make_split_loaders
-        # hflip=False: stage-2 transform parity (no flip; reference
-        # transform.py:23-34 — flips would break text-image alignment)
         train_loader, valid_loader = make_split_loaders(
             dataset.paths, args.batch_size * args.grad_accum,
             args.batch_size, valid_size=args.valid_size, hflip=False,
