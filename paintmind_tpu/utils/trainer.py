@@ -300,6 +300,8 @@ class VQGANTrainer(_TrainerBase):
                 if self.steps // self.samp_every > prev // self.samp_every:
                     self.evaluate()
         writer.close()
+        if self.steps % self.save_every:  # final partial interval
+            self.save()
         self._sync_model()
         self.finalize_checkpoints()
         print('Train finished!')
@@ -493,6 +495,8 @@ class PaintMindTrainer(_TrainerBase):
                 if self.steps // self.save_every > prev // self.save_every:
                     self.save()
         writer.close()
+        if self.steps % self.save_every:  # final partial interval
+            self.save()
         self._sync_model()
         self.finalize_checkpoints()
         print('Train finished!')
