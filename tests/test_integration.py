@@ -148,3 +148,31 @@ def test_factory_loads_explicit_checkpoint_even_when_pretrained_false(tmp_path):
     a = np.asarray(src.params['quantize']['codebook'])
     b = np.asarray(dst.params['quantize']['codebook'])
     np.testing.assert_array_equal(a, b)
+
+
+def test_shipped_trained_weights_load_and_reconstruct():
+    """The committed from-scratch-trained vit-s-vqgan asset loads through
+    the factory and reconstructs a real photograph sanely (PSNR well above
+    random-init's ~6 dB)."""
+    import os
+    import paintmind_tpu as pm
+    from paintmind_tpu.utils.metrics import psnr
+
+    asset = os.path.join(os.path.dirname(pm.__file__), 'assets',
+                         'vit_vq_photo.npz')
+    if not os.path.exists(asset):
+        pytest.skip('trained asset not present')
+    from PIL import Image
+    from paintmind_tpu.utils.transform import stage1_transform
+
+    fig = Image.open('/root/reference/assets/rec_1.png').convert('RGB')
+    origin = fig.crop((0, 0, fig.size[0] // 2, fig.size[1]))
+    x = np.asarray(stage1_transform(is_train=False)(origin))[None]
+
+    model = pm.create_model(arch='vqgan', version='vit-s-vqgan',
+                            pretrained=False, checkpoint_path=asset)
+    z, _, ids = model.encode(x)
+    rec = np.asarray(model.decode(z), np.float32)
+    assert psnr(rec, x) > 15.0
+    # trained codebook spreads mass over many entries on a real image
+    assert len(np.unique(np.asarray(ids))) > 100
