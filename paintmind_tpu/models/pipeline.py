@@ -320,11 +320,12 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
                                              'guidance_scale', 'backend',
                                              'dtype', 'sampler',
                                              'cfg_warmup', 'act_sharding',
-                                             'clamp_remask'))
+                                             'clamp_remask', 'trajectory'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
                  backend=None, dtype=None, sampler='auto', cfg_warmup=0.0,
-                 act_sharding=None, neg_context=None, clamp_remask=False):
+                 act_sharding=None, neg_context=None, clamp_remask=False,
+                 trajectory='merged'):
     """Full iterative decode as one scan (reference generate.py:183-198).
     Returns (final merged ids, per-step pred_ids trajectory (T, B, L)).
 
@@ -351,19 +352,28 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                 guidance_scale=scale, backend=backend, dtype=dtype,
                 sampler=sampler, act_sharding=act_sharding,
                 neg_context=neg_context, clamp_remask=clamp_remask)
-            return ids_next, pred
+            if trajectory == 'preds':
+                return ids_next, pred
+            # 'merged' (default): committed tokens + the current prediction
+            # where still masked.  The reference decodes raw pred_ids every
+            # step (generate.py:165) — but positions already committed get
+            # RE-predictions the loss never supervises (CE is masked-only,
+            # generate.py:110-123), which visibly degrades late-step and
+            # final images.  Merged ids are the actual sample.
+            return ids_next, jnp.where(ids_next == cfg.mask_token_id, pred,
+                                       ids_next)
         return body
 
     if warm == 0:
         return jax.lax.scan(make_body(guidance_scale), init_ids,
                             (keys, n_masked, temps))
-    ids_w, preds_w = jax.lax.scan(
+    ids_w, ys_w = jax.lax.scan(
         make_body(None), init_ids,
         (keys[:warm], n_masked[:warm], temps[:warm]))
-    final_ids, preds_g = jax.lax.scan(
+    final_ids, ys_g = jax.lax.scan(
         make_body(guidance_scale), ids_w,
         (keys[warm:], n_masked[warm:], temps[warm:]))
-    return final_ids, jnp.concatenate([preds_w, preds_g], axis=0)
+    return final_ids, jnp.concatenate([ys_w, ys_g], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -494,12 +504,18 @@ class Pipeline:
     def generate(self, text=None, timesteps=18, temperature=1.0, topk=5,
                  save_interval=2, key=None, guidance_scale=None,
                  num_samples=None, decode_steps='saved', cfg_warmup=0.0,
-                 negative_text=None):
+                 negative_text=None, trajectory='merged'):
         """(reference generate.py:183-198).  Returns a list of image
         batches — one per saved step ('saved', parity) or just the final
         image batch ('final').  ``cfg_warmup``: see generate_ids.
         ``negative_text`` (extension): caption(s) the guidance pushes away
-        from, replacing the unconditional branch."""
+        from, replacing the unconditional branch.
+
+        ``trajectory='merged'`` (default) decodes committed tokens plus the
+        current prediction at still-masked positions; ``'preds'`` decodes
+        the raw per-step predictions like the reference (generate.py:165) —
+        which re-predicts already-committed positions the training loss
+        never supervises, visibly degrading late-step images."""
         if negative_text is not None:
             if guidance_scale is None:
                 raise ValueError('negative_text requires guidance_scale — '
@@ -525,7 +541,7 @@ class Pipeline:
             cfg=self.config, timesteps=timesteps, temperature=temperature,
             topk=topk, guidance_scale=guidance_scale,
             dtype=self.compute_dtype, cfg_warmup=cfg_warmup,
-            neg_context=neg_context)
+            neg_context=neg_context, trajectory=trajectory)
         if decode_steps == 'final':
             steps = [timesteps - 1]
         else:  # parity: every save_interval-th step (generate.py:195-196)
@@ -558,19 +574,14 @@ class Pipeline:
         _, ids, context = self.to_latent(img, text)
         ids = jnp.where(keep_mask.astype(bool), ids,
                         jnp.asarray(self.mask_token_id, ids.dtype))
-        final_ids, preds = generate_ids(
+        _, merged = generate_ids(
             self.params, self._next_key(key), ids, context, cfg=self.config,
             timesteps=timesteps, temperature=temperature, topk=topk,
             guidance_scale=guidance_scale, dtype=self.compute_dtype,
             clamp_remask=True)
-        # decode the MERGED ids: kept positions keep the original content
-        # (the generate() path decodes raw per-step predictions for parity
-        # with the reference, but painting must preserve the keep region);
-        # the schedule leaves ≥1 position masked after the final re-mask —
-        # fill those from the last prediction
-        merged = jnp.where(final_ids == self.mask_token_id, preds[-1],
-                           final_ids)
-        return self.vqgan.decode_from_indice(merged)
+        # merged trajectory: kept positions hold the original content, the
+        # ≥1 still-masked schedule slot is filled from the last prediction
+        return self.vqgan.decode_from_indice(merged[-1])
 
     def inpaint(self, img, coord, text=None, timesteps=1, topk=1,
                 temperature=0.0, key=None, guidance_scale=None):

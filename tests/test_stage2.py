@@ -424,3 +424,28 @@ def test_paint_preserves_kept_region(pipe_params):
                                   np.float32), (8, 8, 16, 16), timesteps=3,
                        topk=2)
     assert np.asarray(img).shape == (1, 32, 32, 3)
+
+
+def test_generate_trajectory_merged_vs_preds(pipe_params):
+    """'merged' (default) display ids = committed tokens + current
+    prediction at still-masked slots; 'preds' = reference raw
+    re-predictions (generate.py:165).  Same underlying trajectory."""
+    init = jnp.full((2, SMALL_PIPE.num_tokens), SMALL_PIPE.mask_token_id,
+                    jnp.int32)
+    key = jax.random.PRNGKey(5)
+    f_m, merged = pl.generate_ids(pipe_params, key, init, None,
+                                  cfg=SMALL_PIPE, timesteps=4, topk=2)
+    f_p, preds = pl.generate_ids(pipe_params, key, init, None,
+                                 cfg=SMALL_PIPE, timesteps=4, topk=2,
+                                 trajectory='preds')
+    np.testing.assert_array_equal(np.asarray(f_m), np.asarray(f_p))
+    m, p, f = np.asarray(merged), np.asarray(preds), np.asarray(f_m)
+    # merged never shows the mask id
+    assert (m != SMALL_PIPE.mask_token_id).all()
+    # final merged step: committed positions come from final ids, the
+    # remaining masked slots from the final prediction
+    is_mask = f == SMALL_PIPE.mask_token_id
+    np.testing.assert_array_equal(m[-1][~is_mask], f[~is_mask])
+    np.testing.assert_array_equal(m[-1][is_mask], p[-1][is_mask])
+    # and the two display modes genuinely differ at committed positions
+    assert (m[-1] != p[-1]).any()
