@@ -327,7 +327,11 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  act_sharding=None, neg_context=None, clamp_remask=False,
                  trajectory='merged'):
     """Full iterative decode as one scan (reference generate.py:183-198).
-    Returns (final merged ids, per-step pred_ids trajectory (T, B, L)).
+    Returns (final ids, per-step display-ids trajectory (T, B, L)):
+    ``trajectory='merged'`` (default) yields committed tokens + the current
+    prediction at still-masked slots; ``'preds'`` yields the reference's
+    raw per-step predictions (generate.py:165 — unsupervised at committed
+    positions; see Pipeline.generate).
 
     ``cfg_warmup`` (extension, default off): fraction of the early steps
     that run conditional-only before guidance kicks in at full scale —
@@ -336,6 +340,9 @@ def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
     hardware: full CFG is FLOP-bound at ≈2.4× the plain sampler
     (BASELINE.md).  cfg_warmup=0.5 ≈ 1.7× instead.  Compiles as two scans
     in one jit; cfg_warmup=0 is exactly the always-guided path."""
+    if trajectory not in ('merged', 'preds'):
+        raise ValueError(f"trajectory must be 'merged' or 'preds', "
+                         f'got {trajectory!r}')
     n_masked, temps = _schedule_arrays(timesteps, temperature, cfg.num_tokens)
     keys = jax.random.split(key, timesteps)
 

@@ -142,6 +142,13 @@ class GenerationEngine:
     def reconstruct(self, image):
         return self.submit(ReconstructRequest(image=np.asarray(image))).result()
 
+    def reset_stats(self):
+        """Zero counters/latencies (e.g. after a warm-up/compile phase)."""
+        with self._lock:
+            self._latencies.clear()
+            for k in self._counters:
+                self._counters[k] = 0
+
     def stats(self):
         with self._lock:
             lat = sorted(self._latencies)

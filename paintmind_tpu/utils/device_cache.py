@@ -59,6 +59,18 @@ def _sample_batch(data, perm, start, key, *, batch_size, img_size, is_train,
     return (x * 2.0 - 1.0).astype(dtype)
 
 
+def _list_images(source):
+    """Folder path or path list → list of image paths (shared by the
+    constructor and make_split_cache_loaders so both accept identical
+    corpora)."""
+    import os
+    if isinstance(source, (list, tuple)):
+        return [str(p) for p in source]
+    return [os.path.join(str(source), f)
+            for f in sorted(os.listdir(str(source)))
+            if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+
+
 class DeviceCacheLoader:
     """DataLoader-protocol iterable over an HBM-cached corpus.
 
@@ -66,17 +78,21 @@ class DeviceCacheLoader:
     uint8 array.  Host work happens once in the constructor (decode +
     PIL-bicubic resize to the transform's pre-crop size); iteration is
     pure device work.  Yields device-resident (B, img_size, img_size, 3)
-    batches — shard_batch in the trainers is then a device-side no-op.
+    batches — on a single device shard_batch in the trainers passes them
+    through untouched; on a multi-device mesh the cache is placed
+    replicated (active mesh) and the per-step reshard to the data axis is
+    device-side, never via the host.
     """
 
     def __init__(self, source, batch_size, *, img_size=256, scale=0.8,
                  is_train=True, hflip=True, seed=0, dtype=jnp.float32,
-                 device=None):
+                 device=None, drop_last=True):
         self.batch_size = int(batch_size)
         self.img_size = int(img_size)
         self.is_train = bool(is_train)
         self.hflip = bool(hflip)
         self.dtype = dtype
+        self.drop_last = bool(drop_last)
         self.epoch = 0
         resize = int(img_size / scale)
 
@@ -90,13 +106,7 @@ class DeviceCacheLoader:
             stacked = source
         else:
             from PIL import Image
-            if isinstance(source, (list, tuple)):
-                paths = [str(p) for p in source]
-            else:
-                import os
-                paths = [os.path.join(str(source), f)
-                         for f in sorted(os.listdir(str(source)))
-                         if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+            paths = _list_images(source)
             if not paths:
                 raise ValueError('no images to cache')
             rows = []
@@ -110,11 +120,21 @@ class DeviceCacheLoader:
         if self.n < self.batch_size:
             raise ValueError(f'corpus ({self.n}) smaller than batch size '
                              f'({self.batch_size})')
+        if device is None:
+            # replicate over the active mesh so per-step resharding to the
+            # data axis stays device-side on multi-chip runs
+            from ..parallel.context import active_mesh
+            mesh = active_mesh()
+            if mesh is not None:
+                from ..parallel.mesh import replicate_sharding
+                device = replicate_sharding(mesh)
         self._data = jax.device_put(stacked, device)  # the ONE upload
         self._key = jax.random.PRNGKey(seed)
 
     def __len__(self):
-        return self.n // self.batch_size
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
 
     def __iter__(self):
         k_epoch = jax.random.fold_in(self._key, self.epoch)
@@ -125,12 +145,21 @@ class DeviceCacheLoader:
             perm = jnp.arange(self.n)
         try:
             for step in range(len(self)):
-                yield _sample_batch(
-                    self._data, perm, step * self.batch_size,
+                start = step * self.batch_size
+                count = min(self.batch_size, self.n - start)
+                # partial tail (drop_last=False): gather the fixed-size
+                # window ending at n, then keep only the unseen suffix —
+                # one compiled shape, every image yielded exactly once
+                s = start if count == self.batch_size \
+                    else self.n - self.batch_size
+                out = _sample_batch(
+                    self._data, perm, s,
                     jax.random.fold_in(k_epoch, step + 1),
                     batch_size=self.batch_size, img_size=self.img_size,
                     is_train=self.is_train, hflip=self.hflip,
                     dtype=self.dtype)
+                yield out if count == self.batch_size \
+                    else out[self.batch_size - count:]
         finally:
             self.epoch += 1
 
@@ -144,13 +173,7 @@ def make_split_cache_loaders(source, train_batch, valid_batch, *,
                              img_size=256, dtype=jnp.float32):
     """Deterministic train/valid split → two DeviceCacheLoaders (mirrors
     native.fastloader.make_split_loaders)."""
-    import os
-    if isinstance(source, (list, tuple)):
-        paths = [str(p) for p in source]
-    else:
-        paths = [os.path.join(str(source), f)
-                 for f in sorted(os.listdir(str(source)))
-                 if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+    paths = _list_images(source)
     if not paths:
         raise ValueError('no images to cache')
     perm = np.random.default_rng(seed).permutation(len(paths))
@@ -160,7 +183,8 @@ def make_split_cache_loaders(source, train_batch, valid_batch, *,
                               hflip=hflip, seed=seed, dtype=dtype)
     valid = DeviceCacheLoader([paths[i] for i in perm[:valid_n]],
                               min(valid_batch, valid_n), img_size=img_size,
-                              is_train=False, seed=seed, dtype=dtype)
+                              is_train=False, seed=seed, dtype=dtype,
+                              drop_last=False)
     print(f'device cache: {len(paths) - valid_n} train / {valid_n} valid '
           f'images, {train.nbytes / 1e6:.0f} MB resident')
     return train, valid

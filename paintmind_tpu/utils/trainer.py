@@ -300,8 +300,8 @@ class VQGANTrainer(_TrainerBase):
                 if self.steps // self.samp_every > prev // self.samp_every:
                     self.evaluate()
         writer.close()
-        if self.steps % self.save_every:  # final partial interval
-            self.save()
+        if self.steps != getattr(self, '_last_saved_steps', None):
+            self.save()  # final partial save interval
         self._sync_model()
         self.finalize_checkpoints()
         print('Train finished!')
@@ -315,6 +315,7 @@ class VQGANTrainer(_TrainerBase):
         """Full train state (orbax) + model-only npz
         (reference saves model state_dict only, trainer.py:261-264)."""
         self._sync_model()
+        self._last_saved_steps = self.steps
         self.vqvae.save_pretrained(
             os.path.join(self.model_saved_dir, f'vit_vq_step_{self.steps}.npz'))
         return self._save_state(f'vit_vq_state_{self.steps}')
@@ -495,8 +496,8 @@ class PaintMindTrainer(_TrainerBase):
                 if self.steps // self.save_every > prev // self.save_every:
                     self.save()
         writer.close()
-        if self.steps % self.save_every:  # final partial interval
-            self.save()
+        if self.steps != getattr(self, '_last_saved_steps', None):
+            self.save()  # final partial save interval
         self._sync_model()
         self.finalize_checkpoints()
         print('Train finished!')
@@ -512,6 +513,7 @@ class PaintMindTrainer(_TrainerBase):
 
     def save(self):
         self._sync_model()
+        self._last_saved_steps = self.steps
         self.model.save_pretrained(os.path.join(
             self.model_saved_dir, f'paintmind_step_{self.steps}.npz'))
         return self._save_state(f'paintmind_state_{self.steps}')

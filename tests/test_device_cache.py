@@ -103,3 +103,17 @@ def test_trainer_runs_on_device_cache(tmp_path, image_folder):
     assert trainer.steps == 1
     assert np.isfinite(trainer.log['rec loss'])
     assert np.isfinite(trainer.log['val psnr'])
+
+
+def test_drop_last_false_yields_every_image_once(image_folder):
+    from paintmind_tpu.utils.transform import stage1_transform
+    loader = DeviceCacheLoader(image_folder, batch_size=5, img_size=32,
+                               is_train=False, drop_last=False)
+    batches = [np.asarray(b) for b in loader]
+    assert len(loader) == 3
+    assert [b.shape[0] for b in batches] == [5, 5, 2]
+    got = np.concatenate(batches)
+    t = stage1_transform(img_size=32, is_train=False)
+    ref = np.stack([np.asarray(t(Image.open(p).convert('RGB')))
+                    for p in sorted(image_folder.iterdir())])
+    np.testing.assert_allclose(got, ref, atol=1e-6)

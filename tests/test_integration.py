@@ -162,6 +162,8 @@ def test_shipped_trained_weights_load_and_reconstruct():
                          'vit_vq_photo.npz')
     if not os.path.exists(asset):
         pytest.skip('trained asset not present')
+    if not os.path.exists('/root/reference/assets/rec_1.png'):
+        pytest.skip('reference photo assets not present on this machine')
     from PIL import Image
     from paintmind_tpu.utils.transform import stage1_transform
 

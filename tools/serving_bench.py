@@ -42,6 +42,7 @@ def main():
                 for _ in range(args.max_batch)]
         for f in warm:
             f.result(timeout=600)
+        eng.reset_stats()  # exclude compile-inflated warm-up latencies
 
         t0 = time.time()
         futs = [eng.submit(GenerateRequest(context=ctxs[i % len(ctxs)],
