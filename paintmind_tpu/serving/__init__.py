@@ -4,9 +4,9 @@
 ``server.serve`` exposes it over stdlib HTTP.  See ``scripts/serve.py``.
 """
 
-from .engine import (GenerateRequest, GenerationEngine, PaintRequest,
-                     ReconstructRequest)
+from .engine import (EngineOverloaded, GenerateRequest, GenerationEngine,
+                     PaintRequest, ReconstructRequest)
 from .server import make_server, serve
 
 __all__ = ['GenerationEngine', 'GenerateRequest', 'PaintRequest',
-           'ReconstructRequest', 'make_server', 'serve']
+           'ReconstructRequest', 'EngineOverloaded', 'make_server', 'serve']

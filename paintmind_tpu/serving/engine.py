@@ -89,6 +89,10 @@ class PaintRequest:
                 self.guidance_scale)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full."""
+
+
 def _bucket(n, max_batch):
     return min(1 << max(0, math.ceil(math.log2(max(n, 1)))), max_batch)
 
@@ -102,10 +106,11 @@ class GenerationEngine:
     """
 
     def __init__(self, pipeline, *, max_batch=16, max_wait_ms=20.0,
-                 latency_window=512):
+                 latency_window=512, max_queue=None):
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
+        self.max_queue = max_queue  # None = unbounded
         self._queue = queue.SimpleQueue()
         self._lock = threading.Lock()
         self._closed = False
@@ -123,6 +128,15 @@ class GenerationEngine:
     def submit(self, request) -> Future:
         if self._closed:
             raise RuntimeError('engine is closed')
+        if self.max_queue is not None \
+                and self._queue.qsize() >= self.max_queue:
+            # backpressure: shed load instead of growing latency unboundedly
+            with self._lock:
+                self._counters['rejected'] = \
+                    self._counters.get('rejected', 0) + 1
+            raise EngineOverloaded(
+                f'queue depth {self._queue.qsize()} >= max_queue '
+                f'{self.max_queue}')
         if isinstance(request, (GenerateRequest, PaintRequest)) \
                 and request.text is not None and request.context is None:
             # encode text on the caller's thread; sampling stays batched

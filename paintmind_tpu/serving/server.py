@@ -29,8 +29,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from .engine import (GenerateRequest, GenerationEngine, PaintRequest,
-                     ReconstructRequest)
+from .engine import (EngineOverloaded, GenerateRequest, GenerationEngine,
+                     PaintRequest, ReconstructRequest)
 
 
 def _img_to_png_b64(img):
@@ -87,6 +87,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200, self._reconstruct(req))
             if self.path in ('/inpaint', '/outpaint'):
                 return self._reply(200, self._paint(req, self.path[1:]))
+        except EngineOverloaded as e:
+            return self._reply(503, {'error': str(e), 'retry': True})
         except Exception as e:  # noqa: BLE001 — report, keep serving
             return self._reply(500, {'error': f'{type(e).__name__}: {e}'})
         return self._reply(404, {'error': f'unknown path {self.path}'})

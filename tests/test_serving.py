@@ -184,3 +184,50 @@ def test_http_paint_endpoint(pipe):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_backpressure_rejects_when_queue_full(pipe):
+    from paintmind_tpu.serving import EngineOverloaded
+    eng = GenerationEngine(pipe, max_batch=2, max_wait_ms=2000, max_queue=2)
+    try:
+        futs = []
+        rejected = 0
+        for _ in range(12):
+            try:
+                futs.append(eng.submit(GenerateRequest(timesteps=2, topk=2)))
+            except EngineOverloaded:
+                rejected += 1
+        assert rejected >= 1
+        assert eng.stats().get('rejected', 0) == rejected
+        for f in futs:
+            assert f.result(timeout=120).shape == (32, 32, 3)
+    finally:
+        eng.close()
+
+
+def test_mixed_signature_concurrency_stress(pipe):
+    """Many concurrent requests across four signatures: everything resolves,
+    nothing deadlocks, per-signature batches form."""
+    rng = np.random.default_rng(6)
+    ctx = rng.standard_normal((5, 48)).astype(np.float32)
+    img = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    reqs = []
+    for i in range(24):
+        kind = i % 4
+        if kind == 0:
+            reqs.append(GenerateRequest(timesteps=2, topk=2))
+        elif kind == 1:
+            reqs.append(GenerateRequest(timesteps=3, topk=2))
+        elif kind == 2:
+            reqs.append(GenerateRequest(context=ctx, timesteps=2, topk=2,
+                                        guidance_scale=1.5))
+        else:
+            reqs.append(ReconstructRequest(image=img))
+    with GenerationEngine(pipe, max_batch=8, max_wait_ms=100) as eng:
+        futs = [eng.submit(r) for r in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+    assert all(o.shape == (32, 32, 3) for o in outs)
+    stats = eng.stats()
+    assert stats['requests'] == 24
+    assert stats['batches'] >= 4  # at least one batch per signature
+    assert stats['mean_batch_occupancy'] > 1.5  # real coalescing happened
