@@ -116,7 +116,7 @@ class GenerationEngine:
         self._closed = False
         self._latencies = deque(maxlen=latency_window)
         self._counters = {'requests': 0, 'batches': 0, 'batched_requests': 0,
-                          'errors': 0, 'padded_slots': 0}
+                          'errors': 0, 'padded_slots': 0, 'rejected': 0}
         self._seed_key = np.random.default_rng()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name='pm-serving-dispatch',
@@ -128,15 +128,6 @@ class GenerationEngine:
     def submit(self, request) -> Future:
         if self._closed:
             raise RuntimeError('engine is closed')
-        if self.max_queue is not None \
-                and self._queue.qsize() >= self.max_queue:
-            # backpressure: shed load instead of growing latency unboundedly
-            with self._lock:
-                self._counters['rejected'] = \
-                    self._counters.get('rejected', 0) + 1
-            raise EngineOverloaded(
-                f'queue depth {self._queue.qsize()} >= max_queue '
-                f'{self.max_queue}')
         if isinstance(request, (GenerateRequest, PaintRequest)) \
                 and request.text is not None and request.context is None:
             # encode text on the caller's thread; sampling stays batched
@@ -144,9 +135,19 @@ class GenerationEngine:
             request = dataclasses.replace(
                 request, context=np.asarray(ctx)[0], text=None)
         fut = Future()
-        with self._lock:
-            self._counters['requests'] += 1
-        self._queue.put((request, fut, time.monotonic()))
+        with self._lock:  # check + put under the lock: the bound holds
+            if self.max_queue is not None \
+                    and self._queue.qsize() >= self.max_queue:
+                # backpressure: shed load, don't grow latency unboundedly
+                self._counters['rejected'] += 1
+                depth = self._queue.qsize()
+            else:
+                depth = None
+                self._counters['requests'] += 1
+                self._queue.put((request, fut, time.monotonic()))
+        if depth is not None:
+            raise EngineOverloaded(
+                f'queue depth {depth} >= max_queue {self.max_queue}')
         return fut
 
     def generate(self, **kw):

@@ -21,6 +21,8 @@ def main():
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--max-batch', type=int, default=16)
     p.add_argument('--max-wait-ms', type=float, default=20.0)
+    p.add_argument('--max-queue', type=int, default=None,
+                   help='bound the request queue; full queue returns 503')
     p.add_argument('--timesteps', type=int, default=16)
     p.add_argument('--topk', type=int, default=5)
     p.add_argument('--no-text-encoder', action='store_true',
@@ -42,7 +44,7 @@ def main():
     if args.checkpoint:
         pipe.from_pretrained(args.checkpoint)
     serve(pipe, args.host, args.port, max_batch=args.max_batch,
-          max_wait_ms=args.max_wait_ms,
+          max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
           defaults={'timesteps': args.timesteps, 'topk': args.topk})
 
 

@@ -231,3 +231,20 @@ def test_mixed_signature_concurrency_stress(pipe):
     assert stats['requests'] == 24
     assert stats['batches'] >= 4  # at least one batch per signature
     assert stats['mean_batch_occupancy'] > 1.5  # real coalescing happened
+
+
+def test_http_503_when_overloaded(pipe):
+    with GenerationEngine(pipe, max_batch=2, max_wait_ms=1,
+                          max_queue=0) as eng:  # everything sheds
+        httpd = make_server(eng, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+            conn.request('POST', '/generate', json.dumps({'timesteps': 2}))
+            resp = conn.getresponse()
+            assert resp.status == 503
+            assert json.loads(resp.read())['retry'] is True
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
