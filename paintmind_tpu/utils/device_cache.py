@@ -35,7 +35,7 @@ import numpy as np
 def _sample_batch(data, perm, start, key, *, batch_size, img_size, is_train,
                   hflip, dtype):
     """Gather ``batch_size`` pre-resized uint8 rows by permutation slice and
-    apply crop/flip/normalize on device."""
+    apply crop/flip/normalize on device.  Returns (batch, item indices)."""
     idx = jax.lax.dynamic_slice(perm, (start,), (batch_size,))
     x = jnp.take(data, idx, axis=0).astype(jnp.float32) / 255.0
     resize = data.shape[1]
@@ -56,7 +56,7 @@ def _sample_batch(data, perm, start, key, *, batch_size, img_size, is_train,
     else:
         off = max_off // 2
         x = x[:, off:off + img_size, off:off + img_size, :]
-    return (x * 2.0 - 1.0).astype(dtype)
+    return (x * 2.0 - 1.0).astype(dtype), idx
 
 
 def _list_images(source):
@@ -86,13 +86,14 @@ class DeviceCacheLoader:
 
     def __init__(self, source, batch_size, *, img_size=256, scale=0.8,
                  is_train=True, hflip=True, seed=0, dtype=jnp.float32,
-                 device=None, drop_last=True):
+                 device=None, drop_last=True, return_indices=False):
         self.batch_size = int(batch_size)
         self.img_size = int(img_size)
         self.is_train = bool(is_train)
         self.hflip = bool(hflip)
         self.dtype = dtype
         self.drop_last = bool(drop_last)
+        self.return_indices = bool(return_indices)
         self.epoch = 0
         resize = int(img_size / scale)
 
@@ -152,14 +153,16 @@ class DeviceCacheLoader:
                 # one compiled shape, every image yielded exactly once
                 s = start if count == self.batch_size \
                     else self.n - self.batch_size
-                out = _sample_batch(
+                out, idx = _sample_batch(
                     self._data, perm, s,
                     jax.random.fold_in(k_epoch, step + 1),
                     batch_size=self.batch_size, img_size=self.img_size,
                     is_train=self.is_train, hflip=self.hflip,
                     dtype=self.dtype)
-                yield out if count == self.batch_size \
-                    else out[self.batch_size - count:]
+                if count != self.batch_size:
+                    out = out[self.batch_size - count:]
+                    idx = idx[self.batch_size - count:]
+                yield (out, idx) if self.return_indices else out
         finally:
             self.epoch += 1
 

@@ -117,3 +117,12 @@ def test_drop_last_false_yields_every_image_once(image_folder):
     ref = np.stack([np.asarray(t(Image.open(p).convert('RGB')))
                     for p in sorted(image_folder.iterdir())])
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_return_indices_tracks_items(image_folder):
+    loader = DeviceCacheLoader(image_folder, batch_size=5, img_size=32,
+                               is_train=True, seed=1, drop_last=False,
+                               return_indices=True)
+    batches = list(loader)
+    idx = np.concatenate([np.asarray(i) for _, i in batches])
+    assert sorted(idx.tolist()) == list(range(12))  # each item exactly once
