@@ -473,8 +473,11 @@ class PaintMindTrainer(_TrainerBase):
                 context = self._embed(text)
                 imgs = shard_batch(_first_images(imgs), self.mesh)
                 if context is not None:
-                    context = shard_batch(np.asarray(context, np.float32),
-                                          self.mesh)
+                    # device-resident contexts (e.g. a device-side gather in
+                    # a text_embedder hook) stay on device, like the images
+                    if not isinstance(context, jax.Array):
+                        context = np.asarray(context, np.float32)
+                    context = shard_batch(context, self.mesh)
                 mask_ratio = jnp.asarray(masked_p_generator(), jnp.float32)
                 self.state, metrics = self._step(self.state, imgs, context,
                                                  mask_ratio)

@@ -35,11 +35,9 @@ def main():
     from train_conditional_demo import N_CLASSES, class_contexts
 
     pipe = pm.create_pipeline_for_train(stage1_pretrained=False,
-                                        text_encoder=None)
+                                        text_encoder=None,
+                                        compute_dtype=jnp.bfloat16)
     pipe.from_pretrained(args.checkpoint)
-    pipe.compute_dtype = jnp.bfloat16
-    pipe.params = pipe._maybe_cast(pipe.params)
-    pipe.vqgan.params = pipe.params['vqgan']
 
     ctxs = class_contexts()
     rows = []

@@ -47,16 +47,39 @@ def main():
     ap.add_argument('--log-dir', default='./log/paintmind_cond')
     args = ap.parse_args()
 
+    import jax
+    import jax.numpy as jnp
     import paintmind_tpu as pm
     from paintmind_tpu.utils.device_cache import (DeviceCacheLoader,
                                                   _list_images)
 
+    # the % N_CLASSES label map is only correct for a corpus built from all
+    # six reference sources (make_photo_corpus assigns crop i to source
+    # i % len(sources)) — fail loudly rather than train on garbage labels
+    try:
+        from make_photo_corpus import load_sources
+        n_sources = len(load_sources())
+        if n_sources != N_CLASSES:
+            raise SystemExit(
+                f'corpus built from {n_sources} sources but the class map '
+                f'assumes {N_CLASSES}; rebuild the corpus or adjust '
+                'N_CLASSES')
+    except SystemExit:
+        raise
+    except Exception:
+        print('note: reference sources unavailable — cannot cross-check '
+              f'the {N_CLASSES}-class label map')
+
     ctxs = class_contexts()
+    ctxs_dev = jax.device_put(ctxs)  # uploaded once
 
     def embed(indices):
-        """Trainer text hook: device item indices → class contexts."""
-        cls = np.asarray(indices) % N_CLASSES
-        return ctxs[cls]
+        """Trainer text hook: item indices → class contexts.  Device
+        indices gather on device (no per-step host round trip — see the
+        transfer-retention note in utils/device_cache.py)."""
+        if isinstance(indices, jax.Array):
+            return jnp.take(ctxs_dev, indices % N_CLASSES, axis=0)
+        return ctxs[np.asarray(indices) % N_CLASSES]
 
     model = pm.create_pipeline_for_train(stage1_pretrained=False,
                                          text_encoder=None)
