@@ -152,8 +152,10 @@ class VQGANTrainer(_TrainerBase):
                  disc_config=None, remat=False, zero_sharding=False,
                  eval_rfid=False, ema_decay=None,
                  codebook_restart_every=None, train_loader=None,
-                 valid_loader=None):
+                 valid_loader=None, share_forward=True):
         del pin_memory  # host staging handled by shard_batch
+        from .compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.vqvae = vqvae
         self.mesh = mesh or make_mesh()
         set_active_mesh(self.mesh)  # lets the Pallas kernels shard themselves
@@ -215,7 +217,8 @@ class VQGANTrainer(_TrainerBase):
             grad_accum=grad_accum_steps,
             compute_dtype=_dtype_of(mixed_precision), remat=remat,
             ema_decay=ema_decay,
-            codebook_restart_every=codebook_restart_every)
+            codebook_restart_every=codebook_restart_every,
+            share_forward=share_forward)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         key = jax.random.PRNGKey(seed)
@@ -378,6 +381,8 @@ class PaintMindTrainer(_TrainerBase):
         # reference kwarg is `optim`; shadowed by our optim module import
         optim_name = optim_name or kwargs.pop('optim', 'lion')
         del pin_memory
+        from .compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.model = model
         self.mesh = mesh or make_mesh()
         set_active_mesh(self.mesh)  # lets the Pallas kernels shard themselves

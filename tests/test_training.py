@@ -258,6 +258,44 @@ def test_vqgan_trainer_end_to_end(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_shared_forward_step_matches_two_pass():
+    """share_forward=True (one VQGAN forward, vjp pulled after the D
+    update) must reproduce the reference two-forward ordering exactly —
+    same params, opt state, stats, and metrics after a step."""
+    import optax
+
+    from paintmind_tpu.models.vqmodel import VQModelConfig, init_vqmodel
+    from paintmind_tpu.train.steps import init_vqgan_train_state, \
+        make_vqgan_train_step
+
+    cfg = VQModelConfig.from_dict(SMALL_VQ)
+    params = init_vqmodel(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, (4, 32, 32, 3)).astype(np.float32))
+
+    out = {}
+    for shared in (False, True):
+        g_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+        state = init_vqgan_train_state(jax.random.PRNGKey(2), params, g_tx,
+                                       d_tx, dcfg=DCFG,
+                                       codebook_restart_every=50)
+        step = jax.jit(make_vqgan_train_step(
+            cfg, g_tx, d_tx, dcfg=DCFG, grad_accum=2, d_weight=0.1,
+            codebook_restart_every=50, share_forward=shared))
+        out[shared] = step(state, imgs)
+
+    s0, m0 = out[False]
+    s1, m1 = out[True]
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=2e-5, atol=2e-6)
+    for name in m0:
+        np.testing.assert_allclose(float(m0[name]), float(m1[name]),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_codebook_dead_code_restart():
     """codebook_restart_every extension: unused rows get re-seeded with
     unit-norm encoder latents on the restart cadence; used rows keep their
