@@ -32,8 +32,10 @@ def main():
     import numpy as np
 
     from paintmind_tpu.models.pipeline import Pipeline
+    from paintmind_tpu.utils.compile_cache import enable_persistent_cache
 
-    log('devices:', jax.devices())
+    cache = enable_persistent_cache()
+    log('devices:', jax.devices(), '| compile cache:', cache)
     pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
                     compute_dtype=jnp.bfloat16)
     timesteps = 16

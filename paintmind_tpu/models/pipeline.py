@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, ver2cfg
+from ..parallel.context import mesh_keyed_jit
 from . import quantize as vq
 from . import vqmodel as vm
 from .transformer import CondTransformerConfig, cond_transformer_apply, \
@@ -278,7 +279,9 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
         pred_ids = pred_ids.astype(ids.dtype)
     else:
         filtered = _topk_filter(logits, topk)
-        temp = jnp.maximum(temperature, 1e-10)
+        temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-10)
+        if temp.ndim == 1:  # per-sample (B,) → broadcast over (B, L, V)
+            temp = temp[:, None, None]
         pred_ids = jnp.argmax(filtered / temp + _gumbel(key, filtered.shape),
                               axis=-1).astype(ids.dtype)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -312,15 +315,21 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
     steps = np.arange(1, timesteps + 1)
     masked_r = mask_schedule(steps / timesteps)
     n_masked = np.maximum((masked_r * num_tokens).astype(np.int32), 1)
-    temps = temperature * (1.0 - (steps - 1) / timesteps)
-    return jnp.asarray(n_masked), jnp.asarray(temps)
+    factor = jnp.asarray(1.0 - (steps - 1) / timesteps, jnp.float32)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if temperature.ndim == 0:
+        temps = temperature * factor                        # (T,)
+    else:  # per-sample (B,) base temperatures → (T, B)
+        temps = temperature[None, :] * factor[:, None]
+    return jnp.asarray(n_masked), temps
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'timesteps', 'topk',
-                                             'guidance_scale', 'backend',
-                                             'dtype', 'sampler',
-                                             'cfg_warmup', 'act_sharding',
-                                             'clamp_remask', 'trajectory'))
+@functools.partial(mesh_keyed_jit,
+                   static_argnames=('cfg', 'timesteps', 'topk',
+                                    'guidance_scale', 'backend',
+                                    'dtype', 'sampler',
+                                    'cfg_warmup', 'act_sharding',
+                                    'clamp_remask', 'trajectory'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,
                  timesteps=18, temperature=1.0, topk=5, guidance_scale=None,
                  backend=None, dtype=None, sampler='auto', cfg_warmup=0.0,
@@ -423,7 +432,7 @@ class Pipeline:
         self.patch_size = cfg.patch_size
         self._key = jax.random.PRNGKey(seed + 1)
 
-        self._loss = jax.jit(functools.partial(pipeline_loss, cfg=cfg))
+        self._loss = mesh_keyed_jit(functools.partial(pipeline_loss, cfg=cfg))
 
     # -- helpers ---------------------------------------------------------
 
@@ -568,18 +577,30 @@ class Pipeline:
 
     def _rect_latent_mask(self, coord, inside):
         """(reference generate.py:204-210): latent-grid mask from pixel rect
-        coord=(x, y, h, w); `inside`=value inside the rect."""
+        coord=(x, y, h, w); `inside`=value inside the rect.  ``coord`` may
+        also be a sequence of per-sample rects → (B, L) mask."""
         s = self.patch_size
         g = self.image_size // s
-        x, y, h, w = (c // s for c in coord)
-        keep = np.full((g, g), 1 - inside, dtype=np.int32)
-        keep[y:y + h, x:x + w] = inside
-        return jnp.asarray(keep.reshape(1, -1))
+        coords = ([coord] if not coord or np.isscalar(coord[0])
+                  else list(coord))
+        rows = []
+        for c in coords:
+            x, y, h, w = (int(v) // s for v in c)
+            keep = np.full((g, g), 1 - inside, dtype=np.int32)
+            keep[y:y + h, x:x + w] = inside
+            rows.append(keep.reshape(-1))
+        return jnp.asarray(np.stack(rows))
 
-    def _paint(self, img, coord, text, timesteps, topk, temperature, key,
-               keep_mask, guidance_scale):
+    def paint(self, img, keep_mask, text=None, timesteps=1, topk=1,
+              temperature=0.0, key=None, guidance_scale=None):
+        """Batched paint with an explicit per-sample latent keep-mask
+        (B, L) or (1, L); 1 = keep the original token, 0 = regenerate.
+        The mask is a tensor operand (not part of any compiled-program
+        signature), so the serving engine coalesces paint requests with
+        different rects — and different modes — into one batch.
+        ``temperature`` may be per-sample (B,)."""
         _, ids, context = self.to_latent(img, text)
-        ids = jnp.where(keep_mask.astype(bool), ids,
+        ids = jnp.where(jnp.asarray(keep_mask).astype(bool), ids,
                         jnp.asarray(self.mask_token_id, ids.dtype))
         _, merged = generate_ids(
             self.params, self._next_key(key), ids, context, cfg=self.config,
@@ -592,17 +613,18 @@ class Pipeline:
 
     def inpaint(self, img, coord, text=None, timesteps=1, topk=1,
                 temperature=0.0, key=None, guidance_scale=None):
-        """Regenerate inside the rect (reference generate.py:200-217)."""
+        """Regenerate inside the rect (reference generate.py:200-217).
+        ``coord`` is one (x, y, h, w) pixel rect or a per-sample list."""
         keep = self._rect_latent_mask(coord, inside=0)
-        return self._paint(img, coord, text, timesteps, topk, temperature,
-                           key, keep, guidance_scale)
+        return self.paint(img, keep, text, timesteps, topk, temperature,
+                          key, guidance_scale)
 
     def outpaint(self, img, coord, text=None, timesteps=1, topk=1,
                  temperature=0.0, key=None, guidance_scale=None):
         """Regenerate outside the rect (reference generate.py:219-236)."""
         keep = self._rect_latent_mask(coord, inside=1)
-        return self._paint(img, coord, text, timesteps, topk, temperature,
-                           key, keep, guidance_scale)
+        return self.paint(img, keep, text, timesteps, topk, temperature,
+                          key, guidance_scale)
 
     # -- checkpointing ---------------------------------------------------
 

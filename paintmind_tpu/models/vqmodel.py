@@ -257,13 +257,14 @@ class VQModel:
         self.params = params
         self.frozen = False
         cfg = self.config
-        self._encode = jax.jit(functools.partial(encode, cfg=cfg))
-        self._decode = jax.jit(functools.partial(decode, cfg=cfg,
-                                                 dtype=compute_dtype))
-        self._forward = jax.jit(functools.partial(forward, cfg=cfg))
-        self._decode_ids = jax.jit(functools.partial(decode_from_indice,
-                                                     cfg=cfg,
-                                                     dtype=compute_dtype))
+        from ..parallel.context import mesh_keyed_jit
+        self._encode = mesh_keyed_jit(functools.partial(encode, cfg=cfg))
+        self._decode = mesh_keyed_jit(functools.partial(decode, cfg=cfg,
+                                                        dtype=compute_dtype))
+        self._forward = mesh_keyed_jit(functools.partial(forward, cfg=cfg))
+        self._decode_ids = mesh_keyed_jit(
+            functools.partial(decode_from_indice, cfg=cfg,
+                              dtype=compute_dtype))
 
     def _prep(self, img):
         img = _as_nhwc(img)

@@ -67,7 +67,7 @@ def topk_keep_mask(l, k):
     return gt | (eq & (col <= cut))
 
 
-def _sample_kernel(seed_ref, temp_ref, logits_ref, pred_ref, conf_ref, *, k):
+def _sample_kernel(seed_ref, logits_ref, temp_ref, pred_ref, conf_ref, *, k):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     l = logits_ref[:].astype(jnp.float32)  # (BT, V)
 
@@ -86,7 +86,7 @@ def _sample_kernel(seed_ref, temp_ref, logits_ref, pred_ref, conf_ref, *, k):
     u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (2.0 ** -24)
     g = -jnp.log(-jnp.log(jnp.maximum(u, 1e-20)))
 
-    temp = jnp.maximum(temp_ref[0], 1e-10)
+    temp = jnp.maximum(temp_ref[:], 1e-10)  # (BT, 1), broadcasts over V
     masked = jnp.where(keep, l / temp + g, NEG_INF)
     pred = jnp.argmax(masked, axis=-1).astype(jnp.int32)[:, None]
 
@@ -100,7 +100,9 @@ def _sample_kernel(seed_ref, temp_ref, logits_ref, pred_ref, conf_ref, *, k):
 
 
 def fused_gumbel_topk_sample(logits, key, temperature, k=5):
-    """logits: (..., V) fp32/bf16; key: jax PRNG key; temperature: scalar.
+    """logits: (..., V) fp32/bf16; key: jax PRNG key; temperature: scalar
+    or per-sample (B,) vector (B = logits.shape[0]) — per-sample values let
+    the serving engine coalesce requests that differ only in temperature.
     Returns (pred int32 (...,), conf fp32 (...,)).
 
     Under an active mesh (parallel.context) the kernel is shard_mapped with
@@ -108,6 +110,7 @@ def fused_gumbel_topk_sample(logits, key, temperature, k=5):
     would otherwise all-gather the logits and replicate the kernel); each
     shard folds its data-axis index into the PRNG key so gumbel noise stays
     independent across shards."""
+    temperature = jnp.asarray(temperature, jnp.float32)
     from ..parallel.context import active_mesh
     mesh = active_mesh()
     if mesh is not None and logits.ndim >= 2:
@@ -116,15 +119,16 @@ def fused_gumbel_topk_sample(logits, key, temperature, k=5):
         if dp > 1 and logits.shape[0] % dp == 0:
             spec_l = P('data', *([None] * (logits.ndim - 1)))
             spec_o = P('data', *([None] * (logits.ndim - 2)))
+            spec_t = P() if temperature.ndim == 0 else P('data')
 
             def body(l_, key_, t_):
                 key_ = jax.random.fold_in(key_, jax.lax.axis_index('data'))
                 return _fused_gumbel_topk_sample(l_, key_, t_, k=k)
 
             fn = jax.shard_map(body, mesh=mesh,
-                               in_specs=(spec_l, P(), P()),
+                               in_specs=(spec_l, P(), spec_t),
                                out_specs=(spec_o, spec_o), check_vma=False)
-            return fn(logits, key, jnp.asarray(temperature, jnp.float32))
+            return fn(logits, key, temperature)
     return _fused_gumbel_topk_sample(logits, key, temperature, k=k)
 
 
@@ -137,21 +141,31 @@ def _fused_gumbel_topk_sample(logits, key, temperature, k=5):
         t *= s
     l2 = logits.reshape(t, v)
 
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if temperature.ndim == 0:
+        temp = jnp.full((t, 1), temperature, jnp.float32)
+    else:  # (B,) per-sample → per-row over the flattened (B·L,) rows
+        temp = jnp.broadcast_to(
+            temperature.reshape(-1, *([1] * (len(shape) - 1))),
+            shape).reshape(t, 1)
+
     block_t = 64
     t_pad = -(-max(t, 8) // block_t) * block_t
     if t_pad != t:
         l2 = jnp.pad(l2, [(0, t_pad - t), (0, 0)])
+        temp = jnp.pad(temp, [(0, t_pad - t), (0, 0)], constant_values=1.0)
 
     seed = jax.random.bits(key, (1,), jnp.uint32).astype(jnp.int32)
-    temp = jnp.asarray(temperature, jnp.float32).reshape(1)
 
     pred, conf = pl.pallas_call(
         functools.partial(_sample_kernel, k=k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(t_pad // block_t,),
             in_specs=[
                 pl.BlockSpec((block_t, v), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_t, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -169,5 +183,5 @@ def _fused_gumbel_topk_sample(logits, key, temperature, k=5):
             flops=8 * t_pad * v, bytes_accessed=t_pad * v * 4,
             transcendentals=2 * t_pad * v),
         interpret=_INTERPRET,
-    )(seed, temp, l2)
+    )(seed, l2, temp)
     return pred[:t, 0].reshape(shape), conf[:t, 0].reshape(shape)

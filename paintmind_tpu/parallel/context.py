@@ -11,33 +11,30 @@ model code that has no mesh argument.  Trainers, the multichip dryrun, and
 tests register the mesh here; kernel wrappers consult it and fall back to
 the unsharded call when no mesh is active (single chip) or shapes do not
 divide.
+
+The registry is consulted at TRACE time inside callers' jits, so a cached
+trace bakes in the mesh that was active when it compiled.  Every jit entry
+point that can reach a kernel wrapper therefore goes through
+:func:`mesh_keyed_jit`, which injects the active mesh as a static argument
+— flipping the mesh re-traces those programs automatically instead of
+serving a stale unsharded trace (the round-2 global ``jax.clear_caches``
+hammer is gone; ``set_active_mesh`` and ``use_mesh`` now behave
+identically).
 """
 
 from __future__ import annotations
 
 import contextlib
+import functools
 
 _ACTIVE_MESH = None
 
 
 def set_active_mesh(mesh):
     """Register the mesh the current program runs under (None to clear).
-
-    The registry is consulted at TRACE time inside callers' jits, so a
-    cached trace bakes in the mesh that was active when it compiled.
-    Changing the active mesh therefore drops all jit caches — otherwise a
-    function first traced without a mesh would keep running its unsharded
-    (all-gathering) trace after the mesh is registered, and vice versa.
-    Mesh changes are rare (trainer/serving startup), so the recompile cost
-    is paid once, not per step."""
+    Safe at any point in the process: mesh-keyed jit caches re-trace on
+    the next call instead of reusing traces from the previous mesh."""
     global _ACTIVE_MESH
-    if mesh is not _ACTIVE_MESH:
-        same = (_ACTIVE_MESH is not None and mesh is not None
-                and _ACTIVE_MESH.shape == mesh.shape
-                and _ACTIVE_MESH.devices.tolist() == mesh.devices.tolist())
-        if not same:
-            import jax
-            jax.clear_caches()
     _ACTIVE_MESH = mesh
 
 
@@ -50,10 +47,8 @@ def active_mesh():
 
 @contextlib.contextmanager
 def use_mesh(mesh):
-    """Scoped mesh registration (tests/tools).  Unlike set_active_mesh this
-    does NOT drop jit caches — callers that re-trace the same function with
-    identical shapes under a different mesh must clear caches themselves
-    (jax.clear_caches()); the test suite uses per-case functions/shapes."""
+    """Scoped mesh registration (tests/tools); same cache semantics as
+    set_active_mesh — mesh-keyed programs re-trace under the new mesh."""
     global _ACTIVE_MESH
     prev = _ACTIVE_MESH
     _ACTIVE_MESH = mesh
@@ -61,3 +56,53 @@ def use_mesh(mesh):
         yield mesh
     finally:
         _ACTIVE_MESH = prev
+
+
+class MeshKeyedJit:
+    """A jitted callable whose trace cache keys on the active mesh.
+
+    ``jax.sharding.Mesh`` is hashable, so the mesh rides along as a static
+    argument: calls under different active meshes hit different cache
+    entries, and returning to an earlier mesh reuses its compiled program.
+    """
+
+    def __init__(self, jitted):
+        self._jit = jitted
+        functools.update_wrapper(self, jitted, updated=())
+
+    def __call__(self, *args, **kw):
+        kw.setdefault('_mesh', active_mesh())
+        return self._jit(*args, **kw)
+
+    def lower(self, *args, **kw):
+        kw.setdefault('_mesh', active_mesh())
+        return self._jit.lower(*args, **kw)
+
+    def eval_shape(self, *args, **kw):
+        kw.setdefault('_mesh', active_mesh())
+        return self._jit.eval_shape(*args, **kw)
+
+
+def mesh_keyed_jit(fn, *, static_argnames=(), **jit_kw):
+    """``jax.jit`` with the active mesh folded into the cache key.
+
+    ``fn`` is wrapped in a shim that accepts and discards a ``_mesh``
+    static kwarg; the returned :class:`MeshKeyedJit` fills it from
+    :func:`active_mesh` on every call."""
+    import jax
+
+    def shim(*args, _mesh=None, **kw):
+        del _mesh  # cache key only; kernels consult active_mesh() directly
+        return fn(*args, **kw)
+
+    # keep the display name; do NOT functools.wraps — that would point
+    # inspect.signature at fn, which has no _mesh param, and jit's
+    # static_argnames validation would reject the wrapper
+    shim.__name__ = getattr(fn, '__name__', 'mesh_keyed')
+    shim.__doc__ = getattr(fn, '__doc__', None)
+
+    if isinstance(static_argnames, str):
+        static_argnames = (static_argnames,)
+    jitted = jax.jit(shim, static_argnames=(*static_argnames, '_mesh'),
+                     **jit_kw)
+    return MeshKeyedJit(jitted)

@@ -14,11 +14,13 @@ Design notes (TPU-shaped):
     scheduling is a whole 16/18-step sample, so the engine does *dynamic
     batching*: wait up to ``max_wait_ms`` for compatible requests, pad the
     group to a power-of-two bucket, run once.
-  * Compatibility = everything that changes the compiled program or is a
-    per-batch scalar: (conditioned?, context length, timesteps, topk,
-    guidance_scale, cfg_warmup, temperature).  ``timesteps``/``topk``/
-    ``guidance_scale`` are static argnums of ``generate_ids`` — mixing them
-    would retrace; temperature is traced but batch-wide.
+  * Compatibility = only what changes the compiled program: (conditioned?,
+    context length, timesteps, topk, guidance_scale, cfg_warmup).
+    ``timesteps``/``topk``/``guidance_scale`` are static argnums of
+    ``generate_ids`` — mixing them would retrace.  Temperature is a
+    per-sample (B,) tensor operand and paint rects/modes are per-sample
+    latent keep-masks (Pipeline.paint), so requests differing only in
+    those coalesce freely.
   * Buckets are powers of two capped at ``max_batch`` so a steady request
     mix compiles at most log2(max_batch)+1 programs per signature.
 """
@@ -53,7 +55,7 @@ class GenerateRequest:
     def signature(self):
         ctx_len = None if self.context is None else int(self.context.shape[0])
         return ('generate', ctx_len, self.timesteps, self.topk,
-                self.guidance_scale, self.cfg_warmup, self.temperature)
+                self.guidance_scale, self.cfg_warmup)
 
 
 @dataclasses.dataclass
@@ -68,9 +70,9 @@ class ReconstructRequest:
 @dataclasses.dataclass
 class PaintRequest:
     """Inpaint (regenerate inside ``coord``) or outpaint (outside).
-    ``coord`` is a pixel rect (x, y, h, w); per-request rects change the
-    latent mask, so paint requests run one per batch (mode + coord are part
-    of the signature)."""
+    ``coord`` is a pixel rect (x, y, h, w).  The rect and mode become a
+    per-sample latent keep-mask tensor (Pipeline.paint), so requests with
+    different rects — and different modes — coalesce into one batch."""
     image: object = None
     coord: tuple = (0, 0, 0, 0)
     mode: str = 'inpaint'  # or 'outpaint'
@@ -84,8 +86,7 @@ class PaintRequest:
 
     def signature(self):
         ctx_len = None if self.context is None else int(self.context.shape[0])
-        return ('paint', self.mode, tuple(self.coord), ctx_len,
-                self.timesteps, self.topk, self.temperature,
+        return ('paint', ctx_len, self.timesteps, self.topk,
                 self.guidance_scale)
 
 
@@ -107,6 +108,8 @@ class GenerationEngine:
 
     def __init__(self, pipeline, *, max_batch=16, max_wait_ms=20.0,
                  latency_window=512, max_queue=None):
+        from ..utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()  # bucket programs survive restarts
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
@@ -271,11 +274,20 @@ class GenerationEngine:
         key = self._batch_key(reqs)
         imgs = self.pipeline.generate(
             text=text, timesteps=r0.timesteps, topk=r0.topk,
-            temperature=r0.temperature, guidance_scale=r0.guidance_scale,
+            temperature=self._batch_temps(reqs, bucket),
+            guidance_scale=r0.guidance_scale,
             cfg_warmup=r0.cfg_warmup, num_samples=num, decode_steps='final',
             key=key)[-1]
         imgs = np.asarray(imgs, np.float32)
         return [imgs[i] for i in range(n)]
+
+    @staticmethod
+    def _batch_temps(reqs, bucket):
+        """Per-sample temperature vector (padded slots get 1.0) — a traced
+        (B,) operand, so mixed-temperature requests share one program."""
+        temps = np.ones((bucket,), np.float32)
+        temps[:len(reqs)] = [float(r.temperature) for r in reqs]
+        return temps
 
     def _run_paint(self, reqs):
         r0 = reqs[0]
@@ -295,11 +307,17 @@ class GenerationEngine:
         ctx = None
         if r0.context is not None:
             ctx = padded([np.asarray(r.context, np.float32) for r in reqs])
-        fn = (self.pipeline.inpaint if r0.mode == 'inpaint'
-              else self.pipeline.outpaint)
-        out = np.asarray(fn(
-            imgs, tuple(r0.coord), text=ctx, timesteps=r0.timesteps,
-            topk=r0.topk, temperature=r0.temperature,
+        # rect + mode → per-sample keep-mask rows; pad rows keep everything
+        # (timesteps≥1 regenerates ≥1 token even for all-keep rows — the
+        # merged trajectory still returns the original content there)
+        masks = np.concatenate(
+            [np.asarray(self.pipeline._rect_latent_mask(
+                tuple(r.coord), inside=0 if r.mode == 'inpaint' else 1))
+             for r in reqs], axis=0)
+        masks = padded(list(masks))
+        out = np.asarray(self.pipeline.paint(
+            imgs, masks, text=ctx, timesteps=r0.timesteps,
+            topk=r0.topk, temperature=self._batch_temps(reqs, bucket),
             guidance_scale=r0.guidance_scale, key=self._batch_key(reqs)),
             np.float32)
         return [out[i] for i in range(len(reqs))]
@@ -313,9 +331,9 @@ class GenerationEngine:
             imgs = np.concatenate([imgs, pad], axis=0)
         with self._lock:
             self._counters['padded_slots'] += bucket - n
-        vq = self.pipeline.vqgan
-        z, _, _ = vq.encode(imgs)
-        rec = np.asarray(vq.decode(z), np.float32)
+        # single fused encode→decode program (halves host dispatch latency
+        # vs separate encode + decode calls; ADVICE r2)
+        rec = np.asarray(self.pipeline.vqgan.reconstruct(imgs), np.float32)
         return [rec[i] for i in range(n)]
 
     def _batch_key(self, reqs):

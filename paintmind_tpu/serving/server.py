@@ -89,6 +89,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200, self._paint(req, self.path[1:]))
         except EngineOverloaded as e:
             return self._reply(503, {'error': str(e), 'retry': True})
+        except (ValueError, TypeError) as e:  # validation → client error
+            return self._reply(400, {'error': str(e)})
         except Exception as e:  # noqa: BLE001 — report, keep serving
             return self._reply(500, {'error': f'{type(e).__name__}: {e}'})
         return self._reply(404, {'error': f'unknown path {self.path}'})
@@ -111,6 +113,16 @@ class _Handler(BaseHTTPRequestHandler):
             if k not in req:
                 raise ValueError(f"missing '{k}' "
                                  "(image: base64; coord: [x, y, h, w])")
+        coord = req['coord']
+        size = self.engine.pipeline.image_size
+        if (not isinstance(coord, (list, tuple)) or len(coord) != 4
+                or not all(isinstance(v, (int, float)) for v in coord)):
+            raise ValueError(
+                f'coord must be a 4-number [x, y, h, w] rect, got {coord!r}')
+        x0, y0, h, w = coord
+        if not (0 <= x0 <= size and 0 <= y0 <= size
+                and 0 <= h <= size and 0 <= w <= size):
+            raise ValueError(f'coord {coord!r} outside the {size}px image')
         x = _png_b64_to_img(req['image'], self.engine.pipeline.image_size)
         context = req.get('context')
         if context is not None:

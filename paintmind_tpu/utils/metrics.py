@@ -94,15 +94,17 @@ def inception_extractor(weights='auto'):
     must not re-initialize the ~24M-param network every call."""
     import os
 
-    if weights in _EXTRACTOR_CACHE:
-        return _EXTRACTOR_CACHE[weights]
-    cache_key = weights
-
     from ..models import inception as inc
     default = os.path.join(os.path.dirname(__file__), '..', 'assets',
                            'inception_v3.npz')
     if weights == 'auto':
+        # key on the RESOLVED target, not the literal 'auto': if the npz
+        # asset appears mid-process, later calls must pick it up instead of
+        # silently keeping the random-feature substitute (ADVICE r2)
         weights = default if os.path.exists(default) else None
+    cache_key = weights
+    if cache_key in _EXTRACTOR_CACHE:
+        return _EXTRACTOR_CACHE[cache_key]
     if weights is None:
         params, variant = inc.init_inception(), 'rfid-rand'
     else:

@@ -76,6 +76,12 @@ def main():
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
+    # register the mesh BEFORE any device-cache upload so the corpus is
+    # replicated over it instead of landing on one default device (ADVICE r2)
+    from paintmind_tpu.parallel import make_mesh, set_active_mesh
+    mesh = make_mesh()
+    set_active_mesh(mesh)
+
     train_loader = valid_loader = None
     # hflip=False in both fast paths: stage-2 transform parity (no flip;
     # reference transform.py:23-34 — flips would break text-image alignment)
@@ -110,7 +116,7 @@ def main():
         log_dir=args.log_dir, num_workers=args.num_workers,
         remat=args.remat, ema_decay=args.ema_decay, cfg_p=args.cfg_p,
         valid_size=args.valid_size, train_loader=train_loader,
-        valid_loader=valid_loader)
+        valid_loader=valid_loader, mesh=mesh)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()

@@ -32,6 +32,10 @@ def main():
                         "absent), a path, 'random', or 'none'")
     p.add_argument('--d-weight', type=float, default=0.1,
                    help='adversarial (non-saturating G) loss weight')
+    p.add_argument('--init-checkpoint', default=None,
+                   help='model weights (.npz/.pt) to fine-tune FROM '
+                        '(fresh optimizer state; --resume restores a full '
+                        'train state instead)')
     p.add_argument('--ema-decay', type=float, default=None,
                    help='EMA decay for eval/export weights (e.g. 0.999)')
     p.add_argument('--codebook-restart-every', type=int, default=None,
@@ -70,6 +74,12 @@ def main():
     else:
         raise SystemExit(f'unknown dataset spec {args.dataset!r}')
 
+    # register the mesh BEFORE any device-cache upload so the corpus is
+    # replicated over it instead of landing on one default device (ADVICE r2)
+    from paintmind_tpu.parallel import make_mesh, set_active_mesh
+    mesh = make_mesh()
+    set_active_mesh(mesh)
+
     train_loader = valid_loader = None
     if args.device_cache:
         if kind != 'folder':
@@ -88,7 +98,8 @@ def main():
             num_workers=args.num_workers)
 
     model = pm.create_model(arch='vqgan', version=args.version,
-                            pretrained=False)
+                            pretrained=False,
+                            checkpoint_path=args.init_checkpoint)
     trainer = pm.VQGANTrainer(
         model, dataset, num_epoch=args.epochs, lr=args.lr,
         lr_min=args.lr_min, warmup_steps=args.warmup_steps,
@@ -101,7 +112,7 @@ def main():
         ema_decay=args.ema_decay, log_every=args.log_every,
         codebook_restart_every=args.codebook_restart_every,
         eval_rfid=args.eval_rfid, train_loader=train_loader,
-        valid_loader=valid_loader)
+        valid_loader=valid_loader, mesh=mesh)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()

