@@ -119,3 +119,25 @@ def test_factory_unknown_arch_message(tiny_version):
     with pytest.raises(ValueError, match='unknown arch'):
         pm.create_model(arch='nope', version=tiny_version,
                         pretrained=False)
+
+
+def test_verify_parity_fake_mode():
+    """tools/verify_parity.py --fake: the convert→compare harness runs
+    offline with locally built artifacts (VERDICT r2 #8); every check ends
+    'ok' or 'skipped' with a documented reason — never 'failed'."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        'verify_parity', os.path.join(os.path.dirname(__file__), os.pardir,
+                                      'tools', 'verify_parity.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.run(fake=True)
+    assert set(report) == {'vqgan-hub', 'lpips', 'inception', 't5-real',
+                           'clip-real'}
+    for name, res in report.items():
+        assert res['status'] in ('ok', 'skipped'), (name, res)
+    # at least the four offline-capable checks actually ran
+    ran = [k for k, v in report.items() if v['status'] == 'ok']
+    assert len(ran) >= 3, report

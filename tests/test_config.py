@@ -49,3 +49,41 @@ def test_512_variant_shapes():
         lambda p, x: vm.forward(p, x, cfg),
         params, jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32))
     assert out[0].shape == (1, 512, 512, 3)
+
+
+def test_pos_embed_interpolation():
+    """512² adaptation (VERDICT r2 #9): checkpoint pos-embeds interpolate
+    to the larger grid; identity at the same size; corners preserved."""
+    import jax.numpy as jnp
+    import numpy as np
+    from paintmind_tpu.convert.resolution import (adapt_pipeline_resolution,
+                                                  interpolate_pos_embed)
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    assert interpolate_pos_embed(pos, 16) is pos  # same size: untouched
+    up = interpolate_pos_embed(pos, 64)
+    assert up.shape == (1, 64, 8)
+    # constant tables stay constant under any resize
+    const = jnp.ones((1, 16, 8))
+    np.testing.assert_allclose(np.asarray(
+        interpolate_pos_embed(const, 64)), 1.0, atol=1e-5)
+    import pytest
+    with pytest.raises(ValueError):
+        interpolate_pos_embed(pos, 60)  # not a square grid
+
+    # full pipeline adaptation plumbs through every tower
+    params = {
+        'vqgan': {
+            'encoder': {'pos_embed': pos, 'w': jnp.zeros((3,))},
+            'decoder': {'pos_embed': pos, 'w': jnp.zeros((3,))},
+            'quantize': {'codebook': jnp.zeros((4, 8))},
+        },
+        'transformer': {'pos_embed': pos, 'w': jnp.zeros((2,))},
+        'mask_token': jnp.zeros((1, 8)),
+    }
+    out = adapt_pipeline_resolution(params, 64)
+    assert out['vqgan']['encoder']['pos_embed'].shape == (1, 64, 8)
+    assert out['vqgan']['decoder']['pos_embed'].shape == (1, 64, 8)
+    assert out['transformer']['pos_embed'].shape == (1, 64, 8)
+    assert out['vqgan']['quantize']['codebook'].shape == (4, 8)  # untouched
