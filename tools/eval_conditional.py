@@ -26,20 +26,31 @@ def main():
     ap.add_argument('--per-class', type=int, default=6)
     ap.add_argument('--timesteps', type=int, default=16)
     ap.add_argument('--out', default='cond_samples.png')
+    ap.add_argument('--corpus', default=None,
+                    help='labeled corpus dir (labels.csv): use its class '
+                         'set/contexts (train_conditional_v2) instead of '
+                         'the 6-class photo demo')
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import paintmind_tpu as pm
     from paintmind_tpu.utils.image_grid import save_image_grid
-    from train_conditional_demo import N_CLASSES, class_contexts
+
+    if args.corpus:
+        from train_conditional_v2 import class_contexts as cc_v2, load_labels
+        _, _, class_names = load_labels(args.corpus)
+        N_CLASSES = len(class_names)
+        ctxs = cc_v2(N_CLASSES)
+        print('classes:', class_names)
+    else:
+        from train_conditional_demo import N_CLASSES, class_contexts
+        ctxs = class_contexts()
 
     pipe = pm.create_pipeline_for_train(stage1_pretrained=False,
                                         text_encoder=None,
                                         compute_dtype=jnp.bfloat16)
     pipe.from_pretrained(args.checkpoint)
-
-    ctxs = class_contexts()
     rows = []
     for c in range(N_CLASSES):
         ctx = np.repeat(ctxs[c][None], args.per_class, axis=0)

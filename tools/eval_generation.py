@@ -30,6 +30,13 @@ def main():
     ap.add_argument('--timesteps', type=int, default=16)
     ap.add_argument('--topk', type=int, default=5)
     ap.add_argument('--grid-out', default='gen_grid.png')
+    ap.add_argument('--real-dir', default=None,
+                    help='folder of real images for the FID reference '
+                         '(e.g. a held-out corpus split); default = the '
+                         'reference-photo crops from full_bench')
+    ap.add_argument('--real-tail', type=int, default=0,
+                    help='with --real-dir: use only the LAST N files of '
+                         'the sorted listing (held-out tail split)')
     args = ap.parse_args()
 
     import jax
@@ -56,7 +63,22 @@ def main():
     gen = np.concatenate(samples)[:args.n]
 
     save_image_grid(gen[:36], args.grid_out)
-    real = _quality_images(rng_seed=123, n=args.n)
+    if args.real_dir:
+        from PIL import Image
+
+        from paintmind_tpu.utils.device_cache import _list_images
+        from paintmind_tpu.utils.transform import stage2_transform
+        paths = _list_images(args.real_dir)
+        if args.real_tail:
+            paths = paths[-args.real_tail:]
+        if len(paths) > args.n:  # deterministic subsample
+            idx = np.linspace(0, len(paths) - 1, args.n).astype(int)
+            paths = [paths[i] for i in idx]
+        tf = stage2_transform(img_size=pipe.image_size, is_train=False)
+        real = np.stack([np.asarray(tf(Image.open(p).convert('RGB')),
+                                    np.float32) for p in paths])
+    else:
+        real = _quality_images(rng_seed=123, n=args.n)
     features, variant = inception_extractor()
     val = fid(features(real), features(gen))
     print(json.dumps({
