@@ -330,6 +330,8 @@ def test_mesh_flip_retraces_mesh_keyed_jits():
     from paintmind_tpu.parallel import use_mesh, set_active_mesh
     from paintmind_tpu.parallel.context import active_mesh, mesh_keyed_jit
 
+    set_active_mesh(None)  # earlier trainer tests may leave a mesh active
+
     trace_meshes = []
 
     def probe(x):

@@ -69,6 +69,9 @@ def main():
     ap.add_argument('--valid-size', type=int, default=64)
     ap.add_argument('--save-every', type=int, default=4000)
     ap.add_argument('--sample-every', type=int, default=2000)
+    ap.add_argument('--log-every', type=int, default=50,
+                    help='metric-fetch cadence; 1 would sync the device '
+                         'every step (measured 2x slower)')
     ap.add_argument('--result-folder', default='./results/paintmind_v2')
     ap.add_argument('--log-dir', default='./log/paintmind_v2')
     args = ap.parse_args()
@@ -126,7 +129,8 @@ def main():
         decay_steps=args.steps, batch_size=args.batch_size,
         grad_accum_steps=1, mixed_precision='bf16', remat=True,
         ema_decay=0.999, cfg_p=args.cfg_p, save_every=args.save_every,
-        sample_every=args.sample_every, result_folder=args.result_folder,
+        sample_every=args.sample_every, log_every=args.log_every,
+        result_folder=args.result_folder,
         log_dir=args.log_dir, text_embedder=embed,
         train_loader=train_loader, valid_loader=valid_loader)
     trainer.train()
