@@ -302,12 +302,32 @@ def sample_step(params, ids, key, *, context, n_masked, temperature, topk,
                                jnp.sum(is_mask, axis=1, dtype=jnp.int32))
         n_masked = n_masked.reshape(-1, 1)  # per-sample threshold
 
-    _, order = jax.lax.top_k(scores, l)  # descending by score
-    ranked_vals = jnp.take_along_axis(ids_filled, order, axis=1)
-    new_vals = jnp.where(jnp.arange(l)[None, :] < n_masked,
-                         jnp.asarray(cfg.mask_token_id, ids.dtype),
-                         ranked_vals)
-    ids_next = ids_filled.at[jnp.arange(b)[:, None], order].set(new_vals)
+    if l <= 2048:
+        # sort-free exact equivalent of the top_k route below: an element is
+        # re-masked iff its descending-order rank (ties -> lower index first,
+        # lax.top_k / torch.topk semantics) is < n_masked.  rank_i =
+        # #{j: s_j > s_i} + #{j < i: s_j == s_i} -- an all-pairs compare XLA
+        # fuses into one reduction pass, replacing the full variadic sort +
+        # gather + scatter (measured faster on v5e; bit-equal, see
+        # test_remask_rank_matches_sort).  O(L^2) compares: guarded to
+        # L<=2048 (the 512^2 variant's L=4096 keeps the sort).
+        si = scores[:, :, None]                       # element i
+        sj = scores[:, None, :]                       # candidate j
+        idx = jnp.arange(l, dtype=jnp.int32)
+        before = idx[None, None, :] < idx[None, :, None]
+        rank = jnp.sum(((sj > si) | ((sj == si) & before)).astype(jnp.int32),
+                       axis=-1)
+        remask = rank < n_masked                      # n_masked: scalar/(B,1)
+        ids_next = jnp.where(remask,
+                             jnp.asarray(cfg.mask_token_id, ids.dtype),
+                             ids_filled)
+    else:
+        _, order = jax.lax.top_k(scores, l)  # descending by score
+        ranked_vals = jnp.take_along_axis(ids_filled, order, axis=1)
+        new_vals = jnp.where(jnp.arange(l)[None, :] < n_masked,
+                             jnp.asarray(cfg.mask_token_id, ids.dtype),
+                             ranked_vals)
+        ids_next = ids_filled.at[jnp.arange(b)[:, None], order].set(new_vals)
     return ids_next, pred_ids
 
 

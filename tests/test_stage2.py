@@ -449,3 +449,40 @@ def test_generate_trajectory_merged_vs_preds(pipe_params):
     np.testing.assert_array_equal(m[-1][is_mask], p[-1][is_mask])
     # and the two display modes genuinely differ at committed positions
     assert (m[-1] != p[-1]).any()
+
+
+def test_remask_rank_matches_sort():
+    """The sort-free rank re-mask (sample_step, L<=2048 route) is bit-equal
+    to the lax.top_k sort + scatter route for every tie pattern and for both
+    scalar and per-sample (clamp_remask) thresholds."""
+    rng2 = np.random.default_rng(3)
+    b, l, mask_id = 4, 24, 999
+
+    def sort_route(scores, ids_filled, n_masked):
+        _, order = jax.lax.top_k(scores, l)
+        ranked = jnp.take_along_axis(ids_filled, order, axis=1)
+        new = jnp.where(jnp.arange(l)[None, :] < n_masked,
+                        jnp.asarray(mask_id, ids_filled.dtype), ranked)
+        return ids_filled.at[jnp.arange(b)[:, None], order].set(new)
+
+    def rank_route(scores, ids_filled, n_masked):
+        si, sj = scores[:, :, None], scores[:, None, :]
+        idx = jnp.arange(l, dtype=jnp.int32)
+        before = idx[None, None, :] < idx[None, :, None]
+        rank = jnp.sum(((sj > si) | ((sj == si) & before)).astype(jnp.int32),
+                       axis=-1)
+        return jnp.where(rank < n_masked,
+                         jnp.asarray(mask_id, ids_filled.dtype), ids_filled)
+
+    ids = jnp.asarray(rng2.integers(0, 64, (b, l)), jnp.int32)
+    for trial in range(4):
+        # quantized scores force many exact ties; include the -1e5 sentinel
+        scores = np.round(rng2.random((b, l)) * 4) / 4
+        scores[rng2.random((b, l)) > 0.6] = -1e5
+        scores = jnp.asarray(scores, jnp.float32)
+        for n_masked in (0, 1, l // 3, l,
+                         jnp.asarray(rng2.integers(0, l, (b, 1)), jnp.int32)):
+            a = sort_route(scores, ids, n_masked)
+            r = rank_route(scores, ids, n_masked)
+            assert np.array_equal(np.asarray(a), np.asarray(r)), (
+                trial, n_masked)
