@@ -43,7 +43,7 @@ from ..parallel.context import mesh_keyed_jit
 from . import quantize as vq
 from . import vqmodel as vm
 from .transformer import CondTransformerConfig, cond_transformer_apply, \
-    init_cond_transformer
+    head_project, init_cond_transformer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +207,12 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
                                       cfg=cfg.tcfg, backend=backend,
                                       act_sharding=act_sharding)
     b = tokens.shape[0]
+    # Guided paths mix the two branches' post-LN HIDDEN states and project
+    # through the shared vocab head once: guidance ``u + s·(c − u)`` is
+    # affine and head_project is the same linear map for both branches, so
+    # the mix commutes with it — identical math, half the (B·L, 8192)
+    # matmul + logits HBM traffic (reference mixes logits: generate.py:64-68).
+    tp = params['transformer']
     if neg_context is not None:
         # negative-prompt guidance (extension): the unguided branch attends
         # to the negative caption instead of self-attending — both branches
@@ -215,19 +221,21 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         # matmuls are under-batched (measured −5% at B≥16).
         if b <= 8:
             both = cond_transformer_apply(
-                params['transformer'],
-                jnp.concatenate([tokens, tokens], axis=0),
+                tp, jnp.concatenate([tokens, tokens], axis=0),
                 jnp.concatenate([context, neg_context], axis=0),
-                cfg=cfg.tcfg, backend=backend, act_sharding=act_sharding)
+                cfg=cfg.tcfg, backend=backend, act_sharding=act_sharding,
+                return_hidden=True)
             cond, uncond = both[:b], both[b:]
         else:
             cond = cond_transformer_apply(
-                params['transformer'], tokens, context, cfg=cfg.tcfg,
-                backend=backend, act_sharding=act_sharding)
+                tp, tokens, context, cfg=cfg.tcfg,
+                backend=backend, act_sharding=act_sharding,
+                return_hidden=True)
             uncond = cond_transformer_apply(
-                params['transformer'], tokens, neg_context, cfg=cfg.tcfg,
-                backend=backend, act_sharding=act_sharding)
-        return uncond + guidance_scale * (cond - uncond)
+                tp, tokens, neg_context, cfg=cfg.tcfg,
+                backend=backend, act_sharding=act_sharding,
+                return_hidden=True)
+        return head_project(tp, uncond + guidance_scale * (cond - uncond))
     if b <= 8:
         # fused CFG: one 2B pass — heavy matmuls batch across both branches,
         # cross-attention splits into its two true KV shapes (identical math
@@ -236,18 +244,20 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         # at B≥16 (already MXU-saturated; the 2B logits tensor costs HBM),
         # hence the batch-size gate.
         both = cond_transformer_apply(
-            params['transformer'], jnp.concatenate([tokens, tokens], axis=0),
+            tp, jnp.concatenate([tokens, tokens], axis=0),
             context, cfg=cfg.tcfg, backend=backend, cfg_halves=True,
-            act_sharding=act_sharding)
+            act_sharding=act_sharding, return_hidden=True)
         cond, uncond = both[:b], both[b:]
     else:
-        cond = cond_transformer_apply(params['transformer'], tokens, context,
+        cond = cond_transformer_apply(tp, tokens, context,
                                       cfg=cfg.tcfg, backend=backend,
-                                      act_sharding=act_sharding)
-        uncond = cond_transformer_apply(params['transformer'], tokens, None,
+                                      act_sharding=act_sharding,
+                                      return_hidden=True)
+        uncond = cond_transformer_apply(tp, tokens, None,
                                         cfg=cfg.tcfg, backend=backend,
-                                        act_sharding=act_sharding)
-    return uncond + guidance_scale * (cond - uncond)
+                                        act_sharding=act_sharding,
+                                        return_hidden=True)
+    return head_project(tp, uncond + guidance_scale * (cond - uncond))
 
 
 def sample_step(params, ids, key, *, context, n_masked, temperature, topk,

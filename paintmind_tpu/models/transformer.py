@@ -63,11 +63,26 @@ def init_cond_transformer(key, cfg: CondTransformerConfig,
     return p
 
 
+def head_project(p, h):
+    """Vocab projection of a post-LN hidden state, in the activation dtype
+    (fp32 accumulation inside the MXU); emitting bf16 logits halves HBM
+    traffic for the (B·L, 8192) tensor — downstream softmax/CE/sampling all
+    upcast to fp32 internally."""
+    logits = jnp.dot(h, p['to_logits']['kernel'].astype(h.dtype),
+                     preferred_element_type=h.dtype)
+    return logits + p['to_logits']['bias'].astype(h.dtype)
+
+
 def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                            key=None, deterministic=True, backend=None,
-                           remat=False, cfg_halves=False, act_sharding=None):
+                           remat=False, cfg_halves=False, act_sharding=None,
+                           return_hidden=False):
     """x: (B, len_seq, in_dim) latent tokens; context: (B, M, context_dim)
-    or None.  Returns (B, len_seq, num_classes) logits (fp32).
+    or None.  Returns (B, len_seq, num_classes) logits (fp32), or the
+    post-LN (B, len_seq, dim) hidden state when ``return_hidden`` — the CFG
+    sampler mixes branch hiddens BEFORE the shared ``head_project``
+    (guidance is affine in the logits, and the head is the same linear map
+    for every branch, so the mix commutes with it; halves the vocab matmul).
 
     ``cfg_halves=True``: x is a [cond; uncond] 2B batch and context is (B,
     M, context_dim) — one fused CFG pass; the uncond half's cross-attention
@@ -83,9 +98,6 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                     deterministic=deterministic, backend=backend, remat=remat,
                     cfg_halves=cfg_halves, act_sharding=act_sharding)
     x = layernorm(p['norm'], x)
-    # vocab projection in the activation dtype (fp32 accumulation inside the
-    # MXU); emitting bf16 logits halves HBM traffic for the (B·L, 8192)
-    # tensor — downstream softmax/CE/sampling all upcast to fp32 internally
-    logits = jnp.dot(x, p['to_logits']['kernel'].astype(x.dtype),
-                     preferred_element_type=x.dtype)
-    return logits + p['to_logits']['bias'].astype(x.dtype)
+    if return_hidden:
+        return x
+    return head_project(p, x)

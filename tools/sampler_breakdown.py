@@ -14,6 +14,7 @@ into the scan carry so XLA cannot dead-code-eliminate the stage under test):
   decode         one VQGAN decode of the final ids
   sampler_only   16 x fused sampling head on FIXED logits (kernel alone)
   remask_only    16 x top_k(scores, L) sort + scatter on fixed scores
+  remask_rank    16 x the sort-free rank-compare re-mask (current default)
 
 Differences between consecutive rows give the per-component cost.  Run when
 the chip is otherwise idle; takes ~10 min including compiles (cached).
@@ -75,6 +76,22 @@ def main():
                                       jnp.float32) * 4.0).astype(jnp.bfloat16)
     fixed_scores = jax.random.uniform(jax.random.PRNGKey(2), (b, l))
 
+    if args.cpu:
+        # the TPU on-core PRNG has no CPU lowering (even interpreted):
+        # substitute the exact XLA sampler so the tool structure still runs
+        from paintmind_tpu.models.pipeline import _gumbel, _topk_filter
+
+        def sample_fn(logits, key, temp, k):
+            filt = _topk_filter(logits, k)
+            pred = jnp.argmax(filt / jnp.maximum(temp, 1e-10)
+                              + _gumbel(key, filt.shape), axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            conf = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
+            return pred.astype(jnp.int32), conf
+    else:
+        def sample_fn(logits, key, temp, k):
+            return fused_gumbel_topk_sample(logits, key, temp, k=k)
+
     def fence(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
@@ -125,10 +142,11 @@ def main():
             key, temp = xs
             logits = cond_transformer_apply(tp, ids_to_tokens(
                 emb, ids, cfg).astype(dtype), context, cfg=tcfg)
-            pred, conf = fused_gumbel_topk_sample(logits, key, temp,
-                                                  k=args.topk)
-            return acc + jnp.sum(conf, axis=-1) + pred[:, 0].astype(dtype), None
-        return jax.lax.scan(body, jnp.zeros((b,), dtype), (keys, temps))[0]
+            pred, conf = sample_fn(logits, key, temp, args.topk)
+            return (acc + jnp.sum(conf, axis=-1)
+                    + pred[:, 0].astype(jnp.float32)), None
+        return jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                            (keys, temps))[0]
 
     @jax.jit
     def full_step(params, ids, context):
@@ -144,9 +162,9 @@ def main():
     def sampler_only(logits):
         def body(acc, xs):
             key, temp = xs
-            pred, conf = fused_gumbel_topk_sample(logits, key, temp,
-                                                  k=args.topk)
-            return acc + jnp.sum(conf, axis=-1) + pred[:, 0].astype(jnp.float32), None
+            pred, conf = sample_fn(logits, key, temp, args.topk)
+            return (acc + jnp.sum(conf, axis=-1)
+                    + pred[:, 0].astype(jnp.float32)), None
         return jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
                             (keys, temps))[0]
 
@@ -162,6 +180,20 @@ def main():
             return out, None
         return jax.lax.scan(body, ids, n_masked)[0]
 
+    @jax.jit
+    def remask_rank_only(scores, ids):
+        def body(c, n_m):
+            s = scores + c[:, :1].astype(scores.dtype)
+            si, sj = s[:, :, None], s[:, None, :]
+            idx = jnp.arange(l, dtype=jnp.int32)
+            before = idx[None, None, :] < idx[None, :, None]
+            rank = jnp.sum(((sj > si) | ((sj == si) & before))
+                           .astype(jnp.int32), axis=-1)
+            out = jnp.where(rank < n_m,
+                            jnp.asarray(cfg.mask_token_id, ids.dtype), ids)
+            return out, None
+        return jax.lax.scan(body, ids, n_masked)[0]
+
     def decode_only(ids):
         return pipe.vqgan.decode_from_indice(ids)
 
@@ -172,6 +204,7 @@ def main():
     rows['full_step'] = timeit(full_step, params, init_ids, ctx)
     rows['sampler_only'] = timeit(sampler_only, fixed_logits)
     rows['remask_only'] = timeit(remask_only, fixed_scores, init_ids)
+    rows['remask_rank'] = timeit(remask_rank_only, fixed_scores, init_ids)
     rows['decode'] = timeit(decode_only, init_ids)
 
     print(json.dumps({k: round(s, 4) for k, s in rows.items()}, indent=1))
