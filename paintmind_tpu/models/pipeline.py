@@ -212,6 +212,12 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
     # affine and head_project is the same linear map for both branches, so
     # the mix commutes with it — identical math, half the (B·L, 8192)
     # matmul + logits HBM traffic (reference mixes logits: generate.py:64-68).
+    # ``guidance_scale`` is a TRACED operand — scalar or per-sample (B,)
+    # vector — so serving coalesces mixed-scale requests and changing the
+    # scale never recompiles.
+    guidance_scale = jnp.asarray(guidance_scale, tokens.dtype)
+    if guidance_scale.ndim == 1:  # cast to the activation dtype: a python
+        guidance_scale = guidance_scale[:, None, None]  # scalar was weak-typed
     tp = params['transformer']
     if neg_context is not None:
         # negative-prompt guidance (extension): the unguided branch attends
@@ -356,8 +362,7 @@ def _schedule_arrays(timesteps, temperature, num_tokens):
 
 @functools.partial(mesh_keyed_jit,
                    static_argnames=('cfg', 'timesteps', 'topk',
-                                    'guidance_scale', 'backend',
-                                    'dtype', 'sampler',
+                                    'backend', 'dtype', 'sampler',
                                     'cfg_warmup', 'act_sharding',
                                     'clamp_remask', 'trajectory'))
 def generate_ids(params, key, init_ids, context=None, *, cfg: PipelineConfig,

@@ -54,8 +54,10 @@ class GenerateRequest:
 
     def signature(self):
         ctx_len = None if self.context is None else int(self.context.shape[0])
+        # only guidance PRESENCE is a program property — the scale itself is
+        # a traced per-sample operand, so mixed-scale requests coalesce
         return ('generate', ctx_len, self.timesteps, self.topk,
-                self.guidance_scale, self.cfg_warmup)
+                self.guidance_scale is not None, self.cfg_warmup)
 
 
 @dataclasses.dataclass
@@ -87,7 +89,7 @@ class PaintRequest:
     def signature(self):
         ctx_len = None if self.context is None else int(self.context.shape[0])
         return ('paint', ctx_len, self.timesteps, self.topk,
-                self.guidance_scale)
+                self.guidance_scale is not None)
 
 
 class EngineOverloaded(RuntimeError):
@@ -275,7 +277,7 @@ class GenerationEngine:
         imgs = self.pipeline.generate(
             text=text, timesteps=r0.timesteps, topk=r0.topk,
             temperature=self._batch_temps(reqs, bucket),
-            guidance_scale=r0.guidance_scale,
+            guidance_scale=self._batch_guidance(reqs, bucket),
             cfg_warmup=r0.cfg_warmup, num_samples=num, decode_steps='final',
             key=key)[-1]
         imgs = np.asarray(imgs, np.float32)
@@ -288,6 +290,16 @@ class GenerationEngine:
         temps = np.ones((bucket,), np.float32)
         temps[:len(reqs)] = [float(r.temperature) for r in reqs]
         return temps
+
+    @staticmethod
+    def _batch_guidance(reqs, bucket):
+        """Per-sample guidance vector, or None when the group is unguided
+        (signature splits on presence, so it is uniform within a group)."""
+        if reqs[0].guidance_scale is None:
+            return None
+        g = np.ones((bucket,), np.float32)
+        g[:len(reqs)] = [float(r.guidance_scale) for r in reqs]
+        return g
 
     def _run_paint(self, reqs):
         r0 = reqs[0]
@@ -318,7 +330,8 @@ class GenerationEngine:
         out = np.asarray(self.pipeline.paint(
             imgs, masks, text=ctx, timesteps=r0.timesteps,
             topk=r0.topk, temperature=self._batch_temps(reqs, bucket),
-            guidance_scale=r0.guidance_scale, key=self._batch_key(reqs)),
+            guidance_scale=self._batch_guidance(reqs, bucket),
+            key=self._batch_key(reqs)),
             np.float32)
         return [out[i] for i in range(len(reqs))]
 

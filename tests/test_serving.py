@@ -213,6 +213,36 @@ def test_mixed_temperature_requests_coalesce(pipe):
     assert all(o.shape == (32, 32, 3) for o in outs)
 
 
+def test_mixed_guidance_requests_coalesce(pipe):
+    """guidance_scale is a traced per-sample operand: guided requests
+    differing only in scale share one program and batch; the unguided
+    request takes its own (cond-only) program."""
+    ctx = np.random.default_rng(11).standard_normal((5, 48)).astype(
+        np.float32)
+    with GenerationEngine(pipe, max_batch=8, max_wait_ms=300) as eng:
+        futs = [eng.submit(GenerateRequest(context=ctx, timesteps=2, topk=2,
+                                           seed=i, guidance_scale=g))
+                for i, g in enumerate((1.5, 3.0, 7.5))]
+        outs = [f.result(timeout=300) for f in futs]
+    assert eng.stats()['batches'] == 1
+    assert all(o.shape == (32, 32, 3) for o in outs)
+
+
+def test_per_sample_guidance_vector_matches_scalar(pipe):
+    """A uniform per-sample guidance vector equals the scalar path, and
+    changing the scalar does not change program identity (traced operand)."""
+    import jax
+    key = jax.random.PRNGKey(7)
+    ctx = jax.numpy.asarray(np.random.default_rng(12).standard_normal(
+        (2, 5, 48)).astype(np.float32))
+    a = pipe.generate(text=ctx, timesteps=3, topk=2, guidance_scale=2.5,
+                      decode_steps='final', key=key)[-1]
+    b = pipe.generate(text=ctx, timesteps=3, topk=2,
+                      guidance_scale=np.array([2.5, 2.5], np.float32),
+                      decode_steps='final', key=key)[-1]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_per_sample_temperature_vector_matches_scalar(pipe):
     """A uniform per-sample temperature vector must equal the scalar path
     exactly (same program semantics, VERDICT r2 #7 'done' criterion)."""
