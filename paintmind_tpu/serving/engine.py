@@ -15,12 +15,12 @@ Design notes (TPU-shaped):
     batching*: wait up to ``max_wait_ms`` for compatible requests, pad the
     group to a power-of-two bucket, run once.
   * Compatibility = only what changes the compiled program: (conditioned?,
-    context length, timesteps, topk, guidance_scale, cfg_warmup).
-    ``timesteps``/``topk``/``guidance_scale`` are static argnums of
-    ``generate_ids`` — mixing them would retrace.  Temperature is a
-    per-sample (B,) tensor operand and paint rects/modes are per-sample
-    latent keep-masks (Pipeline.paint), so requests differing only in
-    those coalesce freely.
+    context length, timesteps, topk, guided?, cfg_warmup).
+    ``timesteps``/``topk`` are static argnums of ``generate_ids`` — mixing
+    them would retrace.  Temperature AND guidance scale are per-sample (B,)
+    tensor operands, and paint rects/modes are per-sample latent keep-masks
+    (Pipeline.paint), so requests differing only in those coalesce freely;
+    only guidance PRESENCE splits groups (cond-only vs CFG program).
   * Buckets are powers of two capped at ``max_batch`` so a steady request
     mix compiles at most log2(max_batch)+1 programs per signature.
 """
