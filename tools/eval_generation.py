@@ -37,6 +37,12 @@ def main():
     ap.add_argument('--real-tail', type=int, default=0,
                     help='with --real-dir: use only the LAST N files of '
                          'the sorted listing (held-out tail split)')
+    ap.add_argument('--guidance', type=float, default=0.0,
+                    help='>0: sample a guided equal-class mixture instead '
+                         'of unconditional (needs --label-corpus)')
+    ap.add_argument('--label-corpus', default=None,
+                    help='labeled corpus dir (labels.csv, make_corpus_v2) '
+                         'providing the class set for --guidance sampling')
     args = ap.parse_args()
 
     import jax
@@ -53,12 +59,30 @@ def main():
                     text_encoder=None, compute_dtype=jnp.bfloat16)
     pipe.from_pretrained(args.checkpoint)
 
+    ctxs = None
+    if args.guidance > 0:
+        if not args.label_corpus:
+            ap.error('--guidance needs --label-corpus for the class set')
+        from train_conditional_v2 import class_contexts, load_labels
+        _, _, class_names = load_labels(args.label_corpus)
+        ctxs = np.asarray(class_contexts(len(class_names)))
+        print(f'guided mixture over {len(class_names)} classes '
+              f'(scale {args.guidance})', file=sys.stderr)
+
     samples = []
     for i in range(0, args.n, args.batch):
         b = min(args.batch, args.n - i)
-        out = pipe.generate(num_samples=b, timesteps=args.timesteps,
-                            topk=args.topk, decode_steps='final',
-                            key=jax.random.PRNGKey(100 + i))[-1]
+        if ctxs is not None:
+            # equal-class mixture, classes round-robin across the run
+            cls = (np.arange(i, i + b)) % len(ctxs)
+            out = pipe.generate(text=ctxs[cls], timesteps=args.timesteps,
+                                topk=args.topk, decode_steps='final',
+                                guidance_scale=args.guidance,
+                                key=jax.random.PRNGKey(100 + i))[-1]
+        else:
+            out = pipe.generate(num_samples=b, timesteps=args.timesteps,
+                                topk=args.topk, decode_steps='final',
+                                key=jax.random.PRNGKey(100 + i))[-1]
         samples.append(np.asarray(out, np.float32))
     gen = np.concatenate(samples)[:args.n]
 
@@ -68,7 +92,15 @@ def main():
 
         from paintmind_tpu.utils.device_cache import _list_images
         from paintmind_tpu.utils.transform import stage2_transform
-        paths = _list_images(args.real_dir)
+        if os.path.exists(os.path.join(args.real_dir, 'labels.csv')):
+            # labeled corpus: tail of the SAME seed-0 shuffled order the
+            # conditional trainer splits on (the sorted listing groups by
+            # class, so a sorted tail would be a single-class reference)
+            from train_conditional_v2 import load_labels
+            files, _, _ = load_labels(args.real_dir)
+            paths = [os.path.join(args.real_dir, f) for f in files]
+        else:
+            paths = _list_images(args.real_dir)
         if args.real_tail:
             paths = paths[-args.real_tail:]
         if len(paths) > args.n:  # deterministic subsample
@@ -83,6 +115,7 @@ def main():
     val = fid(features(real), features(gen))
     print(json.dumps({
         'checkpoint': args.checkpoint, 'n': args.n,
+        'guidance': args.guidance,
         'gen_fid': val, 'fid_variant': variant.replace('rfid', 'fid'),
         'grid': args.grid_out,
     }, indent=2))
