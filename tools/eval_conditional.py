@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--checkpoint', required=True)
+    ap.add_argument('--version', default='paintmindv1',
+                    help="e.g. 'paintmindv1-512' for the 4096-token variant")
+    ap.add_argument('--stage1-checkpoint', default=None,
+                    help='stage-1 tokenizer .npz when the pipeline '
+                         'checkpoint does not embed the right-resolution '
+                         'vqgan tower')
     ap.add_argument('--guidance', type=float, default=2.0)
     ap.add_argument('--per-class', type=int, default=6)
     ap.add_argument('--timesteps', type=int, default=16)
@@ -47,10 +53,16 @@ def main():
         from train_conditional_demo import N_CLASSES, class_contexts
         ctxs = class_contexts()
 
-    pipe = pm.create_pipeline_for_train(stage1_pretrained=False,
+    pipe = pm.create_pipeline_for_train(version=args.version,
+                                        stage1_pretrained=False,
+                                        stage1_checkpoint_path=args.stage1_checkpoint,
                                         text_encoder=None,
                                         compute_dtype=jnp.bfloat16)
+    stage1 = pipe.params['vqgan'] if args.stage1_checkpoint else None
     pipe.from_pretrained(args.checkpoint)
+    if stage1 is not None:  # keep the explicitly-passed tokenizer tower
+        pipe.params = {**pipe.params, 'vqgan': stage1}
+        pipe.vqgan.params = stage1
     rows = []
     for c in range(N_CLASSES):
         ctx = np.repeat(ctxs[c][None], args.per_class, axis=0)

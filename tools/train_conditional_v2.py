@@ -57,6 +57,10 @@ def main():
                     help='corpus dir containing labels.csv')
     ap.add_argument('--init', default=None,
                     help='pipeline checkpoint to fine-tune from (optional)')
+    ap.add_argument('--resume', default=None,
+                    help='orbax state dir (paintmind_state_N) to resume '
+                         'from; --steps stays the TOTAL step target so the '
+                         'LR schedule matches the interrupted run')
     ap.add_argument('--stage1', default=None,
                     help='stage-1 tokenizer checkpoint (.npz); default = '
                          'shipped asset')
@@ -120,8 +124,16 @@ def main():
     valid_loader = DeviceCacheLoader(paths[-n_valid:], min(16, n_valid),
                                      is_train=False, seed=11)
 
-    epochs = max(args.steps // max(len(train_loader), 1), 1)
-    print(f'{epochs} epochs of {len(train_loader)} steps')
+    resume_step = 0
+    if args.resume:
+        import re
+        m = re.search(r'(\d+)$', os.path.basename(args.resume.rstrip('/')))
+        if not m:
+            raise SystemExit(f'cannot infer step from {args.resume!r}')
+        resume_step = int(m.group(1))
+    epochs = max((args.steps - resume_step) // max(len(train_loader), 1), 1)
+    print(f'{epochs} epochs of {len(train_loader)} steps'
+          + (f' (resuming at {resume_step})' if resume_step else ''))
 
     trainer = pm.PaintMindTrainer(
         model, dataset=None, num_epoch=epochs, optim_name='adamw',
@@ -133,6 +145,8 @@ def main():
         result_folder=args.result_folder,
         log_dir=args.log_dir, text_embedder=embed,
         train_loader=train_loader, valid_loader=valid_loader)
+    if args.resume:
+        trainer.resume(args.resume)
     trainer.train()
 
 
