@@ -202,10 +202,16 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         context = context.astype(dtype) if context is not None else None
         neg_context = (neg_context.astype(dtype)
                        if neg_context is not None else None)
+    # The sampler fully unrolls the layer-stack scan: per-layer dynamic
+    # slicing of the stacked weights costs ~3.8% of the 16-step program on
+    # v5e (measured: 13.77 → 14.29 img/s at batch 64); training keeps the
+    # scan (one compiled block body, remat-friendly).
+    unroll = cfg.tcfg.depth
     if guidance_scale is None or context is None:
         return cond_transformer_apply(params['transformer'], tokens, context,
                                       cfg=cfg.tcfg, backend=backend,
-                                      act_sharding=act_sharding)
+                                      act_sharding=act_sharding,
+                                      unroll=unroll)
     b = tokens.shape[0]
     # Guided paths mix the two branches' post-LN HIDDEN states and project
     # through the shared vocab head once: guidance ``u + s·(c − u)`` is
@@ -230,17 +236,17 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
                 tp, jnp.concatenate([tokens, tokens], axis=0),
                 jnp.concatenate([context, neg_context], axis=0),
                 cfg=cfg.tcfg, backend=backend, act_sharding=act_sharding,
-                return_hidden=True)
+                return_hidden=True, unroll=unroll)
             cond, uncond = both[:b], both[b:]
         else:
             cond = cond_transformer_apply(
                 tp, tokens, context, cfg=cfg.tcfg,
                 backend=backend, act_sharding=act_sharding,
-                return_hidden=True)
+                return_hidden=True, unroll=unroll)
             uncond = cond_transformer_apply(
                 tp, tokens, neg_context, cfg=cfg.tcfg,
                 backend=backend, act_sharding=act_sharding,
-                return_hidden=True)
+                return_hidden=True, unroll=unroll)
         return head_project(tp, uncond + guidance_scale * (cond - uncond))
     if b <= 8:
         # fused CFG: one 2B pass — heavy matmuls batch across both branches,
@@ -252,17 +258,17 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         both = cond_transformer_apply(
             tp, jnp.concatenate([tokens, tokens], axis=0),
             context, cfg=cfg.tcfg, backend=backend, cfg_halves=True,
-            act_sharding=act_sharding, return_hidden=True)
+            act_sharding=act_sharding, return_hidden=True, unroll=unroll)
         cond, uncond = both[:b], both[b:]
     else:
         cond = cond_transformer_apply(tp, tokens, context,
                                       cfg=cfg.tcfg, backend=backend,
                                       act_sharding=act_sharding,
-                                      return_hidden=True)
+                                      return_hidden=True, unroll=unroll)
         uncond = cond_transformer_apply(tp, tokens, None,
                                         cfg=cfg.tcfg, backend=backend,
                                         act_sharding=act_sharding,
-                                        return_hidden=True)
+                                        return_hidden=True, unroll=unroll)
     return head_project(tp, uncond + guidance_scale * (cond - uncond))
 
 

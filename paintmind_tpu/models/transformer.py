@@ -76,7 +76,7 @@ def head_project(p, h):
 def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
                            key=None, deterministic=True, backend=None,
                            remat=False, cfg_halves=False, act_sharding=None,
-                           return_hidden=False):
+                           return_hidden=False, unroll=1):
     """x: (B, len_seq, in_dim) latent tokens; context: (B, M, context_dim)
     or None.  Returns (B, len_seq, num_classes) logits (fp32), or the
     post-LN (B, len_seq, dim) hidden state when ``return_hidden`` — the CFG
@@ -96,7 +96,8 @@ def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,
     x = stack_apply(p['layers'], x, context, heads=cfg.num_head,
                     dropout_rate=cfg.dropout, key=key,
                     deterministic=deterministic, backend=backend, remat=remat,
-                    cfg_halves=cfg_halves, act_sharding=act_sharding)
+                    cfg_halves=cfg_halves, act_sharding=act_sharding,
+                    unroll=unroll)
     x = layernorm(p['norm'], x)
     if return_hidden:
         return x
