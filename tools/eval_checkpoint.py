@@ -27,6 +27,12 @@ def main():
                          'training corpus seed 0)')
     ap.add_argument('--n', type=int, default=64)
     ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--img-size', type=int, default=256,
+                    help='input resolution (512 for vit-s-vqgan-512)')
+    ap.add_argument('--valid-split', type=int, default=0, metavar='N',
+                    help='with --dir: evaluate the make_split_cache_loaders '
+                         'seed-42 held-out head of N images instead of the '
+                         'sorted prefix (finetune_512 uses N=16)')
     ap.add_argument('--dtype', default='bf16', choices=['bf16', 'fp32'])
     args = ap.parse_args()
 
@@ -37,10 +43,15 @@ def main():
     if args.dir:
         from PIL import Image
         from paintmind_tpu.utils.transform import stage1_transform
-        t = stage1_transform(is_train=False)
+        t = stage1_transform(img_size=args.img_size, is_train=False)
         paths = [os.path.join(args.dir, f)
                  for f in sorted(os.listdir(args.dir))
-                 if f.lower().endswith(('.jpg', '.jpeg', '.png'))][:args.n]
+                 if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+        if args.valid_split:
+            perm = np.random.default_rng(42).permutation(len(paths))
+            valid_n = min(args.valid_split, max(len(paths) // 10, 1))
+            paths = [paths[i] for i in perm[:valid_n]]
+        paths = paths[:args.n]
         real = np.stack([np.asarray(t(Image.open(p).convert('RGB')))
                          for p in paths])
     else:

@@ -76,8 +76,9 @@ def main():
     scratch = pm.create_pipeline_for_train(
         version='paintmindv1', stage1_pretrained=False, text_encoder=None)
     scratch.from_pretrained(args.init)
-    cfg512 = pm.Config(pm.ver2cfg['paintmindv1-512'])
-    adapted = adapt_pipeline_resolution(scratch.params, cfg512.num_tokens)
+    s1 = pm.Config(pm.ver2cfg['vit-s-vqgan-512'])
+    tokens512 = (s1.enc['image_size'] // s1.enc['patch_size']) ** 2
+    adapted = adapt_pipeline_resolution(scratch.params, tokens512)
     del scratch
 
     model = pm.create_pipeline_for_train(
