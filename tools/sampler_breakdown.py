@@ -121,29 +121,40 @@ def main():
                         dropout_rate=0.0, deterministic=True)
         return layernorm(tp['norm'], x)
 
+    def perturb(ids, acc):
+        # Thread the carry into the step input: without this the prefix
+        # rows read only loop-invariant operands and XLA hoists the whole
+        # transformer out of the scan, timing ONE evaluation instead of 16
+        # (observed: "backbone" == one forward).  A carry-dependent ±1 id
+        # shift keeps the dependency chain with zero measurable extra work.
+        bump = (jnp.round(acc).astype(jnp.int32) % 2)[:, None]
+        return (ids + bump) % (cfg.mask_token_id + 1)
+
     @jax.jit
     def backbone(tp, emb, ids, context):
         def body(acc, _):
-            h = hidden(tp, emb, ids, context)
-            return acc + jnp.sum(h, axis=(1, 2)), None
-        return jax.lax.scan(body, jnp.zeros((b,), dtype), jnp.arange(t))[0]
+            h = hidden(tp, emb, perturb(ids, acc), context)
+            return jnp.sum(h, axis=(1, 2)).astype(jnp.float32), None
+        return jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                            jnp.arange(t))[0]
 
     @jax.jit
     def plus_head(tp, emb, ids, context):
         def body(acc, _):
             logits = cond_transformer_apply(tp, ids_to_tokens(
-                emb, ids, cfg).astype(dtype), context, cfg=tcfg)
-            return acc + jnp.sum(logits[:, 0, :8], axis=-1), None
-        return jax.lax.scan(body, jnp.zeros((b,), dtype), jnp.arange(t))[0]
+                emb, perturb(ids, acc), cfg).astype(dtype), context, cfg=tcfg)
+            return jnp.sum(logits[:, 0, :8], axis=-1).astype(jnp.float32), None
+        return jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                            jnp.arange(t))[0]
 
     @jax.jit
     def plus_sampler(tp, emb, ids, context):
         def body(acc, xs):
             key, temp = xs
             logits = cond_transformer_apply(tp, ids_to_tokens(
-                emb, ids, cfg).astype(dtype), context, cfg=tcfg)
+                emb, perturb(ids, acc), cfg).astype(dtype), context, cfg=tcfg)
             pred, conf = sample_fn(logits, key, temp, args.topk)
-            return (acc + jnp.sum(conf, axis=-1)
+            return (jnp.sum(conf, axis=-1)
                     + pred[:, 0].astype(jnp.float32)), None
         return jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
                             (keys, temps))[0]
