@@ -47,6 +47,9 @@ def main():
     ap.add_argument('--log-every', type=int, default=50)
     ap.add_argument('--result-folder', default='./results/paintmind_512')
     ap.add_argument('--log-dir', default='./log/paintmind_512')
+    ap.add_argument('--resume', default=None,
+                    help='orbax state dir (paintmind_state_N) to resume from;'
+                         ' --steps counts ADDITIONAL microbatch steps')
     args = ap.parse_args()
 
     import jax
@@ -111,6 +114,9 @@ def main():
         result_folder=args.result_folder, log_dir=args.log_dir,
         text_embedder=embed,
         train_loader=train_loader, valid_loader=valid_loader)
+    if args.resume:
+        trainer.resume(args.resume)
+        print(f'resumed from {args.resume} at microbatch step {trainer.steps}')
     trainer.train()
 
 
