@@ -113,11 +113,31 @@ pipeline_v1_512_config = {
     'stage1': 'vit-s-vqgan-512',
 }
 
+# Extensions beyond the reference: the reference defines CLIP text/image
+# embedders but never wires them into a pipeline (dead code,
+# paintmind/modules/encoder.py:45-151).  Here they are usable conditioning
+# towers: the registry's ``t5`` field names ANY context tower (see
+# models/pipeline.CONTEXT_TOWERS).  ``paintmindv1-clip`` conditions on
+# CLIP ViT-L-14 text tokens (77×768); ``paintmindv1-imgvar`` conditions on
+# CLIP ViT-L-14 *image* patch tokens (256×1024) — an image-variations
+# pipeline (generate takes reference images instead of captions).
+pipeline_v1_clip_config = {
+    **pipeline_v1_config,
+    't5': 'clip-l',
+}
+
+pipeline_v1_imgvar_config = {
+    **pipeline_v1_config,
+    't5': 'clip-img-l',
+}
+
 ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
     'vit-s-vqgan-512': vit_s_vqgan_512_config,
     'paintmindv1': pipeline_v1_config,
     'paintmindv1-512': pipeline_v1_512_config,
+    'paintmindv1-clip': pipeline_v1_clip_config,
+    'paintmindv1-imgvar': pipeline_v1_imgvar_config,
 }
 
 

@@ -247,7 +247,13 @@ class CLIPTextEmbedder:
             clip_text_encode, cfg=cfg, layer=layer, dtype=dtype))
 
     def __call__(self, text):
-        if self.tokenizer is not None and text and isinstance(text[0], str):
+        if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+            if self.tokenizer is None:
+                raise RuntimeError(
+                    'CLIPTextEmbedder built without a tokenizer (the CLIP '
+                    'BPE vocab is an open_clip asset, unavailable offline) '
+                    '— pass pre-tokenized (B, 77) int ids, or construct '
+                    'with tokenizer=open_clip.tokenize')
             text = self.tokenizer(list(text))
         return self._encode(self.params, jnp.asarray(text, jnp.int32))
 

@@ -46,6 +46,18 @@ from .transformer import CondTransformerConfig, cond_transformer_apply, \
     head_project, init_cond_transformer
 
 
+# Conditioning towers the registry's ``t5`` field can name → context dim.
+# The reference hard-codes T5 (generate.py:52-58) and leaves its CLIP
+# embedders unused (modules/encoder.py:45-151); here every tower is a
+# first-class option.  ``clip-img-l`` conditions on CLIP ViT-L *image*
+# patch tokens — an image-variations pipeline.
+CONTEXT_TOWERS = {
+    't5-l': 1024, 't5-xl': 2048, 't5-xxl': 4096,
+    'clip-l': 768, 'clip-l-penultimate': 768,
+    'clip-img-l': 1024,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     stage1: str = 'vit-s-vqgan'
@@ -64,7 +76,7 @@ class PipelineConfig:
     def from_dict(cls, d):
         d = d if isinstance(d, dict) else d.to_dict()
         vqc = vm.VQModelConfig.from_dict(ver2cfg[d['stage1']])
-        t5_dim = {'t5-l': 1024, 't5-xl': 2048, 't5-xxl': 4096}[d['t5']]
+        t5_dim = CONTEXT_TOWERS[d['t5']]
         return cls(stage1=d['stage1'], t5=d['t5'], dim=d['dim'],
                    dim_head=d['dim_head'], mlp_dim=d['mlp_dim'],
                    num_head=d['num_head'], depth=d['depth'],
@@ -502,20 +514,37 @@ class Pipeline:
                 "construct with text_encoder='auto'")
         with self._text_lock:  # serving submits from concurrent threads
             if self.text_model is None:
-                from .t5 import T5TextEncoder, T5_VERSIONS
-                version, _ = T5_VERSIONS[self.config.t5]
-                self.text_model = T5TextEncoder(version)
+                tower = self.config.t5
+                if tower.startswith('clip-img'):
+                    from .clip import CLIPImageEmbedder
+                    self.text_model = CLIPImageEmbedder()
+                elif tower.startswith('clip'):
+                    from .clip import CLIPTextEmbedder
+                    layer = ('penultimate' if tower.endswith('penultimate')
+                             else 'last')
+                    self.text_model = CLIPTextEmbedder(layer=layer)
+                else:
+                    from .t5 import T5TextEncoder, T5_VERSIONS
+                    version, _ = T5_VERSIONS[tower]
+                    self.text_model = T5TextEncoder(version)
         return self.text_model
 
     def embed_text(self, text):
-        """list[str] | (B, M, t5_dim) embeddings | None → context or None."""
+        """list[str] | (B, M) token ids | (B, M, t5_dim) embeddings |
+        (B, H, W, 3) conditioning images (clip-img towers) | None →
+        context or None."""
         if text is None:
             return None
         if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
             return self._get_text_model()(text)
         arr = jnp.asarray(text)
         if arr.ndim == 2 and jnp.issubdtype(arr.dtype, jnp.integer):
-            return self._get_text_model().encode_ids(arr)
+            tower = self._get_text_model()
+            if hasattr(tower, 'encode_ids'):
+                return tower.encode_ids(arr)
+            return tower(arr)  # CLIP text: __call__ takes (B, 77) ids
+        if arr.ndim == 4:  # conditioning images — (B, M, D) ctx is 3-D
+            return self._get_text_model()(arr)
         return arr
 
     # -- training --------------------------------------------------------

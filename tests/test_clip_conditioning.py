@@ -1,0 +1,121 @@
+"""CLIP conditioning towers as first-class pipeline options.
+
+The reference defines CLIPText/ImageEmbedder but never wires them into any
+pipeline (dead code, paintmind/modules/encoder.py:45-151).  Here the
+registry's ``t5`` field names any context tower (models/pipeline.
+CONTEXT_TOWERS): these tests cover the tiny-config end-to-end paths (loss +
+generate under CLIP text-token and CLIP image-token conditioning) and the
+registry/dispatch plumbing at full-size dims.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import paintmind_tpu as pm
+import paintmind_tpu.config as pmc
+from paintmind_tpu.models import clip as clip_mod
+from paintmind_tpu.models import pipeline as pl
+
+
+SMALL_VQ = {
+    'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
+    'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'in_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+    'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+            'num_head': 2, 'mlp_dim': 64, 'out_channels': 3, 'dim_head': 16,
+            'dropout': 0.0},
+}
+pmc.register_version('test-vqgan-clipcond', SMALL_VQ)
+
+TINY_TEXT = clip_mod.CLIPTextConfig(vocab_size=64, width=16, heads=2,
+                                    layers=1, context_length=7)
+TINY_VISION = clip_mod.CLIPVisionConfig(image_size=28, patch_size=14,
+                                        width=24, heads=2, layers=1)
+
+
+def _tiny_pipeline(tower, t5_dim, text_encoder):
+    cfg = pl.PipelineConfig(
+        stage1='test-vqgan-clipcond', t5=tower, dim=32, dim_head=16,
+        mlp_dim=64, num_head=2, depth=2, dropout=0.0,
+        vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=t5_dim)
+    return pl.Pipeline(cfg, stage1_pretrained=False,
+                       text_encoder=text_encoder, seed=0)
+
+
+def test_registry_dims():
+    clip_cfg = pl.PipelineConfig.from_dict(pmc.ver2cfg['paintmindv1-clip'])
+    assert clip_cfg.t5 == 'clip-l' and clip_cfg.t5_dim == 768
+    img_cfg = pl.PipelineConfig.from_dict(pmc.ver2cfg['paintmindv1-imgvar'])
+    assert img_cfg.t5 == 'clip-img-l' and img_cfg.t5_dim == 1024
+    # cross-attention context dim follows the tower
+    assert clip_cfg.tcfg.context_dim == 768
+    assert img_cfg.tcfg.context_dim == 1024
+
+
+def test_clip_text_conditioning_end_to_end(rng):
+    tower = clip_mod.CLIPTextEmbedder(cfg=TINY_TEXT, seed=3)
+    pipe = _tiny_pipeline('clip-l', TINY_TEXT.width, tower)
+    ids = rng.integers(0, TINY_TEXT.vocab_size,
+                       (2, TINY_TEXT.context_length)).astype(np.int32)
+    ctx = pipe.embed_text(ids)
+    assert ctx.shape == (2, TINY_TEXT.context_length, TINY_TEXT.width)
+
+    imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    loss = pipe.forward(imgs, text=ids, mask_ratio=0.5,
+                        key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+    out = pipe.generate(text=ids, timesteps=2, decode_steps='final',
+                        key=jax.random.PRNGKey(1))
+    assert out[-1].shape == (2, 32, 32, 3)
+
+
+def test_clip_image_conditioning_end_to_end(rng):
+    tower = clip_mod.CLIPImageEmbedder(cfg=TINY_VISION, seed=4)
+    pipe = _tiny_pipeline('clip-img-l', TINY_VISION.width, tower)
+    cond_imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    # 4-D float input routes to the image tower (resized 32 → 28 inside)
+    ctx = pipe.embed_text(cond_imgs)
+    grid = (TINY_VISION.image_size // TINY_VISION.patch_size) ** 2
+    assert ctx.shape == (2, grid, TINY_VISION.width)
+
+    imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    loss = pipe.forward(imgs, text=cond_imgs, mask_ratio=0.5,
+                        key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+    # image-variations entry: generate conditioned on reference images
+    out = pipe.generate(text=cond_imgs, timesteps=2, decode_steps='final',
+                        key=jax.random.PRNGKey(1))
+    assert out[-1].shape == (2, 32, 32, 3)
+
+    # 3-D input is still treated as precomputed (B, M, D) embeddings
+    assert pipe.embed_text(np.asarray(ctx)).shape == ctx.shape
+
+
+def test_default_tower_dispatch_builds_clip():
+    # full-size registry entry: _get_text_model resolves the tower class
+    # from the config name (random weights offline; converters exist)
+    pipe = pl.Pipeline(pl.PipelineConfig(
+        stage1='test-vqgan-clipcond', t5='clip-l', dim=32, dim_head=16,
+        mlp_dim=64, num_head=2, depth=2, dropout=0.0,
+        vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=768),
+        stage1_pretrained=False, seed=0)
+    tower = pipe._get_text_model()
+    assert isinstance(tower, clip_mod.CLIPTextEmbedder)
+    assert tower.layer == 'last'
+    with pytest.raises(RuntimeError, match='tokenizer'):
+        tower(['a photo of a cat'])
+
+
+def test_factory_builds_clip_versions():
+    # create_model resolves the new registry names (text tower stays lazy
+    # — no 38M/300M random init unless text is actually embedded)
+    m = pm.create_model(arch='pipeline', version='paintmindv1-clip',
+                        pretrained=False)
+    assert m.config.t5_dim == 768
+    assert m.text_model is None
