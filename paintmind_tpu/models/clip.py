@@ -234,6 +234,27 @@ def convert_clip_visual(sd, prefix='visual.'):
     }
 
 
+def load_image_tower(path, dtype=jnp.float32):
+    """Rebuild a CLIPImageEmbedder from params saved with
+    utils.checkpoint.save_params (e.g. the ``tower.npz`` a
+    tools/train_imgvar.py run writes) — the architecture (layers, width,
+    patch size, grid) is inferred from the parameter shapes; heads follow
+    the ViT convention width // 64."""
+    flat = dict(np.load(path))
+    n_layers = 1 + max(int(k.split('/')[1]) for k in flat
+                       if k.startswith('resblocks/'))
+    width = int(flat['class_embedding'].shape[0])
+    patch = int(round((flat['conv1'].shape[0] // 3) ** 0.5))
+    grid = int(round((flat['positional_embedding'].shape[0] - 1) ** 0.5))
+    cfg = CLIPVisionConfig(image_size=patch * grid, patch_size=patch,
+                           width=width, heads=max(width // 64, 1),
+                           layers=n_layers)
+    tower = CLIPImageEmbedder(cfg=cfg, dtype=dtype)
+    from ..utils.checkpoint import unflatten_like
+    tower.params = unflatten_like(tower.params, flat)
+    return tower
+
+
 class CLIPTextEmbedder:
     """Reference call contract (encoder.py:45-104): tokenized text →
     (B, 77, width); needs an open_clip tokenizer or precomputed ids."""

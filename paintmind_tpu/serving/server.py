@@ -18,6 +18,12 @@ Endpoints:
   POST /outpaint          "prompt"?, "timesteps"?, "topk"?, ...}
                          regenerate inside (inpaint) / outside (outpaint)
                          the pixel rect; returns {"image": <base64 PNG>}
+  POST /variations    -> {"image": <base64>, "num"?: int, "timesteps"?, ...}
+                         N generations conditioned on the reference image
+                         (requires an image-conditioning tower, e.g. the
+                         'paintmindv1-imgvar' pipeline); the N requests ride
+                         the normal dynamic batching; returns
+                         {"images": [<base64 PNG>, ...]}
 """
 
 from __future__ import annotations
@@ -87,6 +93,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200, self._reconstruct(req))
             if self.path in ('/inpaint', '/outpaint'):
                 return self._reply(200, self._paint(req, self.path[1:]))
+            if self.path == '/variations':
+                return self._reply(200, self._variations(req))
         except EngineOverloaded as e:
             return self._reply(503, {'error': str(e), 'retry': True})
         except (ValueError, TypeError) as e:  # validation → client error
@@ -133,6 +141,39 @@ class _Handler(BaseHTTPRequestHandler):
             image=x, coord=tuple(req['coord']), mode=mode,
             text=req.get('prompt'), context=context, **kw)).result()
         return {'image': _img_to_png_b64(out)}
+
+    def _variations(self, req):
+        if 'image' not in req:
+            raise ValueError("missing 'image' (base64 PNG/JPEG reference)")
+        pipe = self.engine.pipeline
+        tower_ok = pipe.config.t5.startswith('clip-img')
+        if not tower_ok:
+            from ..models.clip import CLIPImageEmbedder
+            tower_ok = isinstance(pipe.text_model, CLIPImageEmbedder)
+        if not tower_ok:
+            raise ValueError(
+                "this pipeline's conditioning tower does not take images — "
+                "serve an image-conditioned pipeline (e.g. "
+                "'paintmindv1-imgvar') for /variations")
+        n = int(req.get('num', 4))
+        if not 1 <= n <= 16:
+            raise ValueError(f'num must be in [1, 16], got {n}')
+        x = _png_b64_to_img(req['image'], pipe.image_size)
+        # embed once on this handler thread; the N samples share the context
+        # and coalesce in the dispatch batch (distinct batch rows draw
+        # distinct gumbel noise, so they ARE variations)
+        ctx = np.asarray(pipe.embed_text(x[None]), np.float32)[0]
+        kw = dict(self.defaults)
+        for k in ('timesteps', 'topk', 'temperature', 'guidance_scale',
+                  'seed'):
+            if k in req:
+                kw[k] = req[k]
+        seed = kw.pop('seed', None)
+        futs = [self.engine.submit(GenerateRequest(
+                    context=ctx,
+                    seed=None if seed is None else int(seed) + i, **kw))
+                for i in range(n)]
+        return {'images': [_img_to_png_b64(f.result()) for f in futs]}
 
     def _reconstruct(self, req):
         if 'image' not in req:

@@ -28,6 +28,10 @@ def main():
     p.add_argument('--no-text-encoder', action='store_true',
                    help='serve unconditional / precomputed-context requests '
                         'only (skips T5 construction)')
+    p.add_argument('--tower-checkpoint', default=None,
+                   help='conditioning-tower params (.npz) — e.g. the '
+                        'tower.npz saved by tools/train_imgvar.py for an '
+                        'image-variations pipeline (/variations endpoint)')
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -35,11 +39,17 @@ def main():
     from paintmind_tpu.models.pipeline import Pipeline
     from paintmind_tpu.serving import serve
 
+    if args.tower_checkpoint:
+        from paintmind_tpu.models.clip import load_image_tower
+        text_encoder = load_image_tower(args.tower_checkpoint,
+                                        dtype=jnp.bfloat16)
+    else:
+        text_encoder = None if args.no_text_encoder else 'auto'
     pipe = Pipeline(
         config=Config(ver2cfg[args.version]),
         stage1_pretrained=False,
         stage1_checkpoint_path=args.stage1_checkpoint,
-        text_encoder=None if args.no_text_encoder else 'auto',
+        text_encoder=text_encoder,
         compute_dtype=jnp.bfloat16)
     if args.checkpoint:
         pipe.from_pretrained(args.checkpoint)

