@@ -67,10 +67,9 @@ def head_project(p, h):
     """Vocab projection of a post-LN hidden state, in the activation dtype
     (fp32 accumulation inside the MXU); emitting bf16 logits halves HBM
     traffic for the (B·L, 8192) tensor — downstream softmax/CE/sampling all
-    upcast to fp32 internally."""
-    logits = jnp.dot(h, p['to_logits']['kernel'].astype(h.dtype),
-                     preferred_element_type=h.dtype)
-    return logits + p['to_logits']['bias'].astype(h.dtype)
+    upcast to fp32 internally.  Routes through ``nn.core.linear`` so an
+    int8-quantized head (nn/quant.py) is picked up transparently."""
+    return linear(p['to_logits'], h)
 
 
 def cond_transformer_apply(p, x, context=None, *, cfg: CondTransformerConfig,

@@ -48,6 +48,9 @@ def init_linear(key, in_dim, out_dim, *, bias=True, init=xavier_uniform,
 
 
 def linear(p, x):
+    if 'kernel_q' in p:  # int8-quantized (nn/quant.py) — inference only
+        from .quant import linear_q
+        return linear_q(p, x)
     kernel = p['kernel'].astype(x.dtype)
     y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if 'bias' in p:
