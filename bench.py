@@ -27,6 +27,8 @@ def log(*a):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,10 +36,20 @@ def main():
     from paintmind_tpu.models.pipeline import Pipeline
     from paintmind_tpu.utils.compile_cache import enable_persistent_cache
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quant', choices=('w8', 'w8a8'), default=None,
+                    help='int8-quantize the stage-2 transformer first '
+                         '(nn/quant.py); default stays the bf16 headline')
+    args = ap.parse_args()
+
     cache = enable_persistent_cache()
     log('devices:', jax.devices(), '| compile cache:', cache)
     pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
                     compute_dtype=jnp.bfloat16)
+    if args.quant:
+        pipe.quantize(args.quant)
+        log('stage-2 transformer quantized:', args.quant)
+    tag = f'int8-{args.quant}' if args.quant else 'bf16'
     timesteps = 16
 
     best = 0.0
@@ -83,7 +95,7 @@ def main():
 
     print(json.dumps({
         'metric': f'images/sec/chip 256x256 {timesteps}-step t2i '
-                  f'(batch {best_cfg}, bf16)',
+                  f'(batch {best_cfg}, {tag})',
         'value': round(best, 3),
         'unit': 'images/sec/chip',
         'vs_baseline': round(best / TORCH_CPU_BASELINE, 1),

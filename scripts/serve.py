@@ -32,6 +32,11 @@ def main():
                    help='conditioning-tower params (.npz) — e.g. the '
                         'tower.npz saved by tools/train_imgvar.py for an '
                         'image-variations pipeline (/variations endpoint)')
+    p.add_argument('--quantize', choices=('w8', 'w8a8'), default=None,
+                   help='int8-quantize the stage-2 transformer after '
+                        'loading (nn/quant.py): w8a8 = int8 MXU matmuls '
+                        '(max throughput), w8 = weight-only (halves weight '
+                        'HBM traffic — best for small-batch latency)')
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -53,6 +58,8 @@ def main():
         compute_dtype=jnp.bfloat16)
     if args.checkpoint:
         pipe.from_pretrained(args.checkpoint)
+    if args.quantize:
+        pipe.quantize(args.quantize)
     serve(pipe, args.host, args.port, max_batch=args.max_batch,
           max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
           defaults={'timesteps': args.timesteps, 'topk': args.topk})

@@ -156,3 +156,17 @@ class TestPipeline:
     def test_from_pretrained_after_quantize_refuses(self, tiny):
         with pytest.raises(RuntimeError, match='quantized'):
             tiny.from_pretrained('/nonexistent.npz')
+
+    def test_bf16_pipeline_generate_after_quantize(self, tiny):
+        # the production serving config: bf16 activations + int8 weights,
+        # full object API (generate -> vqgan decode)
+        from paintmind_tpu.models import pipeline as pl
+        pipe = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                           text_encoder=None, seed=0,
+                           compute_dtype=jnp.bfloat16)
+        pipe.quantize('w8a8')
+        imgs = pipe.generate(num_samples=2, timesteps=2, topk=2,
+                             decode_steps='final',
+                             key=jax.random.PRNGKey(0))
+        out = np.asarray(imgs[-1], np.float32)
+        assert out.shape[0] == 2 and np.isfinite(out).all()

@@ -43,6 +43,10 @@ def main():
     ap.add_argument('--label-corpus', default=None,
                     help='labeled corpus dir (labels.csv, make_corpus_v2) '
                          'providing the class set for --guidance sampling')
+    ap.add_argument('--quantize', choices=('w8', 'w8a8'), default=None,
+                    help='int8-quantize the stage-2 transformer before '
+                         'sampling — measures the quality cost of the '
+                         'quantized serving path (nn/quant.py)')
     args = ap.parse_args()
 
     import jax
@@ -58,6 +62,8 @@ def main():
                     stage1_checkpoint_path=args.stage1_checkpoint,
                     text_encoder=None, compute_dtype=jnp.bfloat16)
     pipe.from_pretrained(args.checkpoint)
+    if args.quantize:
+        pipe.quantize(args.quantize)
 
     ctxs = None
     if args.guidance > 0:
