@@ -108,19 +108,44 @@ def _replicated_like(tree):
     return jax.tree_util.tree_map(lambda x: P(), tree)
 
 
+def _align_quantized(spec, params):
+    """Rewrite linear sub-specs for int8-quantized linears (nn/quant.py)
+    so int8 and tensor parallelism compose: the 'kernel' spec carries to
+    'kernel_q'; the per-out-channel 'scale' drops the kernel's input
+    (second-to-last) axis; the zero-size 'dyn' marker keeps leading axes.
+    fp sub-trees pass through untouched."""
+    if not isinstance(params, dict):
+        return spec
+    if 'kernel_q' in params:
+        kspec = (spec.get('kernel', P())
+                 if isinstance(spec, dict) else P())
+        ks = tuple(kspec)
+        out = {'kernel_q': kspec,
+               'scale': P(*ks[:-2], ks[-1]) if len(ks) >= 2 else P()}
+        if 'dyn' in params:
+            out['dyn'] = P(*ks[:-2], None) if len(ks) >= 2 else P()
+        if 'bias' in params:
+            out['bias'] = (spec.get('bias', P())
+                           if isinstance(spec, dict) else P())
+        return out
+    return {k: _align_quantized(
+                spec[k] if isinstance(spec, dict) and k in spec else P(), v)
+            for k, v in params.items()}
+
+
 def vqgan_param_spec(params):
     """PartitionSpec tree for VQModel params (models/vqmodel layout)."""
     spec = _replicated_like(params)
     spec['encoder']['layers'] = _stack_block_spec(cross=False)
     spec['decoder']['layers'] = _stack_block_spec(cross=False)
-    return spec
+    return _align_quantized(spec, params)
 
 
 def cond_transformer_param_spec(params):
     spec = _replicated_like(params)
     spec['layers'] = _stack_block_spec(cross=True)
     spec['to_logits'] = {'kernel': P(None, MODEL_AXIS), 'bias': P(MODEL_AXIS)}
-    return spec
+    return _align_quantized(spec, params)
 
 
 def pipeline_param_spec(params):

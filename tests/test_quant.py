@@ -104,6 +104,60 @@ class TestTreeWalk:
         assert rel < 0.05
 
 
+class TestTensorParallel:
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason='needs 8 virtual devices')
+    def test_quantized_tp_logits_match_replicated(self):
+        """int8 composes with tensor parallelism: the aligned spec tree
+        shards kernel_q/scale like the fp kernel, and sharded execution
+        matches replicated (int accumulation is exact, so tolerance is
+        the f32 rescale only)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import paintmind_tpu.config as pmc
+        from paintmind_tpu.models import pipeline as pl
+        from paintmind_tpu.models import transformer as st2
+        from paintmind_tpu.parallel import mesh as pmesh
+
+        vq = {
+            'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
+            'enc': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+                    'num_head': 2, 'mlp_dim': 64, 'in_channels': 3,
+                    'dim_head': 16, 'dropout': 0.0},
+            'dec': {'image_size': 32, 'patch_size': 8, 'dim': 32, 'depth': 1,
+                    'num_head': 2, 'mlp_dim': 64, 'out_channels': 3,
+                    'dim_head': 16, 'dropout': 0.0},
+        }
+        pmc.register_version('test-vqgan-quant-tp', vq)
+        cfg = pl.PipelineConfig(
+            stage1='test-vqgan-quant-tp', t5='t5-l', dim=32, dim_head=16,
+            mlp_dim=64, num_head=2, depth=2, dropout=0.0,
+            vqc=pl.vm.VQModelConfig.from_dict(vq), t5_dim=48)
+        mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=2)
+        params = pl.init_pipeline(jax.random.PRNGKey(0), cfg)
+        tp = dict(params['transformer'])
+        tp['layers'] = quant.quantize_tree(tp['layers'], 'w8a8', min_dim=16)
+        tp['to_logits'] = quant.quantize_linear(tp['to_logits'], 'w8a8')
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 16, 8)).astype(np.float32))
+        ctx = jnp.asarray(rng.standard_normal((4, 5, 48)).astype(np.float32))
+        ref = st2.cond_transformer_apply(tp, x, ctx, cfg=cfg.tcfg,
+                                         backend='xla')
+
+        spec = pmesh.cond_transformer_param_spec(tp)
+        assert spec['layers']['attn1']['to_q']['kernel_q'] == P(
+            None, None, pmesh.MODEL_AXIS)
+        assert spec['layers']['attn1']['to_q']['scale'] == P(
+            None, pmesh.MODEL_AXIS)
+        sharded = pmesh.shard_params(tp, mesh, spec)
+        xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+        out = jax.jit(lambda p, a, c: st2.cond_transformer_apply(
+            p, a, c, cfg=cfg.tcfg, backend='xla'))(sharded, xs, ctx)
+        err = float(np.mean(np.abs(np.asarray(out) - np.asarray(ref))))
+        assert err < 1e-5
+
+
 class TestPipeline:
     @pytest.fixture(scope='class')
     def tiny(self):
