@@ -492,13 +492,22 @@ class Pipeline:
     def _maybe_cast(self, params):
         """Inference pipelines hold params directly in compute_dtype —
         avoids re-converting every weight inside the sampling scan (fp32
-        masters live in the trainer's state, not here)."""
+        masters live in the trainer's state, not here).  Int8-quantized
+        linear dicts pass through whole: their f32 scales must stay f32
+        (bf16 scales would stack ~0.4% error on top of int8's)."""
         if self.compute_dtype is None:
             return params
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(self.compute_dtype)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            params)
+
+        def walk(node):
+            if isinstance(node, dict):
+                if 'kernel_q' in node:
+                    return dict(node)
+                return {k: walk(v) for k, v in node.items()}
+            x = jnp.asarray(node)
+            return (x.astype(self.compute_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+        return walk(params)
 
     def _next_key(self, key=None):
         if key is not None:
@@ -725,13 +734,20 @@ class Pipeline:
     # -- checkpointing ---------------------------------------------------
 
     def from_pretrained(self, path):
-        if getattr(self, '_quantized', None):
-            raise RuntimeError(
-                'this pipeline was quantized in place (int8) — construct a '
-                'fresh Pipeline to load a checkpoint, then call .quantize()')
         from ..utils.checkpoint import load_params
-        self.params = self._maybe_cast(
-            load_params(path, template=self.params, model='pipeline'))
+        try:
+            loaded = load_params(path, template=self.params, model='pipeline')
+        except KeyError as e:
+            if getattr(self, '_quantized', None):
+                # template is int8 but the artifact is fp (or vice versa)
+                raise RuntimeError(
+                    'this pipeline was quantized in place (int8) and the '
+                    f'checkpoint does not match its quantized layout ({e}) '
+                    '— load the fp checkpoint into a fresh Pipeline and '
+                    'call .quantize(), or save/load quantized artifacts '
+                    'as a pair') from e
+            raise
+        self.params = self._maybe_cast(loaded)
         self.vqgan.params = self.params['vqgan']
         return self
 

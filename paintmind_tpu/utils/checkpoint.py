@@ -30,7 +30,13 @@ def flatten_tree(tree):
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            # np.savez stores bf16 as an opaque void16 ('V2') that cannot
+            # be cast back on load — store the lossless f32 upcast instead
+            # (the loader re-casts to the template dtype)
+            arr = arr.astype(np.float32)
+        flat[key] = arr
     return flat
 
 
@@ -42,6 +48,9 @@ def unflatten_like(template, flat):
         if key not in flat:
             raise KeyError(f'checkpoint missing parameter {key!r}')
         value = np.asarray(flat[key])
+        if value.dtype.kind == 'V' and value.dtype.itemsize == 2:
+            # pre-fix artifact written with raw bf16 bytes (see flatten_tree)
+            value = value.view(jnp.bfloat16)
         if value.shape != leaf.shape:
             raise ValueError(f'shape mismatch for {key!r}: checkpoint '
                              f'{value.shape} vs model {leaf.shape}')

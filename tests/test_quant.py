@@ -207,9 +207,43 @@ class TestPipeline:
         assert (out >= 0).all()
         assert (out < tiny.config.tcfg.num_classes).all()
 
-    def test_from_pretrained_after_quantize_refuses(self, tiny):
+    def test_fp_checkpoint_into_quantized_pipeline_refuses(self, tiny,
+                                                           tmp_path):
+        from paintmind_tpu.models import pipeline as pl
+        fp = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                         text_encoder=None, seed=3)
+        path = str(tmp_path / 'fp.npz')
+        fp.save_pretrained(path)
         with pytest.raises(RuntimeError, match='quantized'):
-            tiny.from_pretrained('/nonexistent.npz')
+            tiny.from_pretrained(path)
+
+    def test_quantized_artifact_round_trips_bit_exact(self, tiny, tmp_path):
+        """Deployment flow: quantize once offline, save the int8 artifact,
+        reload it into a fresh quantized pipeline (both bf16, the serving
+        config) — logits bit-equal, f32 scales preserved (not downcast by
+        compute_dtype)."""
+        from paintmind_tpu.models import pipeline as pl
+        src = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                          text_encoder=None, seed=5,
+                          compute_dtype=jnp.bfloat16)
+        src.quantize('w8a8')
+        path = str(tmp_path / 'q.npz')
+        src.save_pretrained(path)
+        other = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                            text_encoder=None, seed=9,
+                            compute_dtype=jnp.bfloat16)
+        other.quantize('w8a8')
+        other.from_pretrained(path)
+        q = other.params['transformer']['layers']['attn1']['to_q']
+        assert q['kernel_q'].dtype == jnp.int8
+        assert q['scale'].dtype == jnp.float32
+        ids = jnp.full((2, src.num_tokens), src.mask_token_id, jnp.int32)
+        ctx = jax.random.normal(jax.random.PRNGKey(10), (2, 7, 64))
+        a = np.asarray(src.tokens2logits(src.ids2tokens(ids), ctx),
+                       np.float32)
+        b = np.asarray(other.tokens2logits(other.ids2tokens(ids), ctx),
+                       np.float32)
+        np.testing.assert_array_equal(a, b)
 
     def test_bf16_pipeline_generate_after_quantize(self, tiny):
         # the production serving config: bf16 activations + int8 weights,
