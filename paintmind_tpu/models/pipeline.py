@@ -707,7 +707,7 @@ class Pipeline:
 
     # -- quantization ----------------------------------------------------
 
-    def quantize(self, mode='w8a8', *, head=True):
+    def quantize(self, mode='w8a8', *, head=True, min_dim=64):
         """Post-training int8 quantization of the stage-2 transformer
         (extension; the reference has none — see nn/quant.py for the TPU
         rationale: s8 x s8 MXU runs at 2x the bf16 peak on v5e).
@@ -722,7 +722,8 @@ class Pipeline:
         """
         from ..nn import quant
         tp = dict(self.params['transformer'])
-        tp['layers'] = quant.quantize_tree(tp['layers'], mode)
+        tp['layers'] = quant.quantize_tree(tp['layers'], mode,
+                                           min_dim=min_dim)
         if head:
             tp['to_logits'] = quant.quantize_linear(tp['to_logits'], mode)
         params = dict(self.params)

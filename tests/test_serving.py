@@ -417,3 +417,21 @@ def test_http_variations_rejects_text_pipeline(pipe):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_engine_serves_quantized_pipeline():
+    """The dynamic-batching engine over an int8-quantized pipeline (the
+    scripts/serve.py --quantize path); min_dim lowered so the tiny test
+    transformer actually quantizes."""
+    qpipe = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                        text_encoder=None)
+    qpipe.quantize('w8a8', min_dim=16)
+    from paintmind_tpu.nn.quant import is_quantized
+    assert is_quantized(qpipe.params['transformer']['layers']['attn1']['to_q'])
+    with GenerationEngine(qpipe, max_batch=8, max_wait_ms=100) as eng:
+        futs = [eng.submit(GenerateRequest(timesteps=2, topk=2, seed=i))
+                for i in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+    for img in outs:
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all()
