@@ -110,6 +110,30 @@ def check_fused_sampling():
     print('fused_sampling OK')
 
 
+def check_int8_linear():
+    """int8 quantized linear on the MXU: w8a8 matches the fp32 product
+    within the quantization-noise bound, and the s8 x s8 dot actually
+    lowers (s32 output dtype)."""
+    import jax, jax.numpy as jnp
+    from paintmind_tpu.nn import quant
+    from paintmind_tpu.nn.core import init_linear, linear
+    p = init_linear(jax.random.PRNGKey(0), 1024, 1024)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 1024), jnp.bfloat16)
+    with jax.default_matmul_precision('highest'):
+        want = linear(p, x.astype(jnp.float32))
+    for mode, tol in (('w8', 0.01), ('w8a8', 0.03)):
+        q = quant.quantize_linear(p, mode)
+        got = jax.jit(linear)(q, x).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        print(f'int8 {mode}: rel err {rel:.4f}')
+        assert rel < tol, (mode, rel)
+    hlo = jax.jit(linear).lower(
+        quant.quantize_linear(p, 'w8a8'), x).compile().as_text()
+    assert any('s32[' in l and 'dot' in l for l in hlo.splitlines()), \
+        'w8a8 dot did not lower to an integer-accumulating matmul'
+    print('int8 linear OK (s32-accumulating dot present)')
+
+
 def bench_generate():
     import jax, jax.numpy as jnp
     from paintmind_tpu.models.pipeline import Pipeline
@@ -138,4 +162,5 @@ if __name__ == '__main__':
     check_flash_attention()
     check_vq_lookup()
     check_fused_sampling()
+    check_int8_linear()
     bench_generate()
