@@ -497,10 +497,11 @@ class Pipeline:
         (bf16 scales would stack ~0.4% error on top of int8's)."""
         if self.compute_dtype is None:
             return params
+        from ..nn.quant import is_quantized
 
         def walk(node):
             if isinstance(node, dict):
-                if 'kernel_q' in node:
+                if is_quantized(node):
                     return dict(node)
                 return {k: walk(v) for k, v in node.items()}
             x = jnp.asarray(node)
@@ -721,6 +722,11 @@ class Pipeline:
         VQGAN (conv decoder, quality-critical) stays in fp.
         """
         from ..nn import quant
+        if getattr(self, '_quantized', None):
+            raise RuntimeError(
+                f'already quantized ({self._quantized!r}) — quantization '
+                'is lossy and terminal for this object; build a fresh '
+                'Pipeline to pick a different mode')
         tp = dict(self.params['transformer'])
         tp['layers'] = quant.quantize_tree(tp['layers'], mode,
                                            min_dim=min_dim)
@@ -738,7 +744,9 @@ class Pipeline:
         from ..utils.checkpoint import load_params
         try:
             loaded = load_params(path, template=self.params, model='pipeline')
-        except KeyError as e:
+        except (KeyError, ValueError) as e:
+            # KeyError: npz/pt strict template load; ValueError: orbax
+            # structure mismatch
             if getattr(self, '_quantized', None):
                 # template is int8 but the artifact is fp (or vice versa)
                 raise RuntimeError(

@@ -48,8 +48,8 @@ def init_linear(key, in_dim, out_dim, *, bias=True, init=xavier_uniform,
 
 
 def linear(p, x):
-    if 'kernel_q' in p:  # int8-quantized (nn/quant.py) — inference only
-        from .quant import linear_q
+    from .quant import is_quantized, linear_q
+    if is_quantized(p):  # int8 (nn/quant.py) — inference only
         return linear_q(p, x)
     kernel = p['kernel'].astype(x.dtype)
     y = jnp.dot(x, kernel, preferred_element_type=x.dtype)

@@ -20,6 +20,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..nn.quant import is_quantized
+
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
@@ -116,10 +118,15 @@ def _align_quantized(spec, params):
     fp sub-trees pass through untouched."""
     if not isinstance(params, dict):
         return spec
-    if 'kernel_q' in params:
+    if is_quantized(params):
         kspec = (spec.get('kernel', P())
                  if isinstance(spec, dict) else P())
-        ks = tuple(kspec)
+        # normalize to the kernel's rank: a PartitionSpec may legally be
+        # shorter than the array rank (trailing dims implicitly
+        # replicated) — without padding, the [:-2] / [-1] slices below
+        # would grab the wrong axes
+        nd = params['kernel_q'].ndim
+        ks = tuple(kspec) + (None,) * (nd - len(tuple(kspec)))
         out = {'kernel_q': kspec,
                'scale': P(*ks[:-2], ks[-1]) if len(ks) >= 2 else P()}
         if 'dyn' in params:

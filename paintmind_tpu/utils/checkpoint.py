@@ -26,6 +26,9 @@ import numpy as np
 SEP = '/'
 
 
+BF16_TAG = '::bf16'
+
+
 def flatten_tree(tree):
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -33,9 +36,11 @@ def flatten_tree(tree):
         arr = np.asarray(leaf)
         if arr.dtype == jnp.bfloat16:
             # np.savez stores bf16 as an opaque void16 ('V2') that cannot
-            # be cast back on load — store the lossless f32 upcast instead
-            # (the loader re-casts to the template dtype)
-            arr = arr.astype(np.float32)
+            # be cast back on load — store the raw 2-byte payload as
+            # uint16 under a tagged key (keeps the artifact half the size
+            # of an f32 upcast; the loader views it back)
+            key += BF16_TAG
+            arr = arr.view(np.uint16)
         flat[key] = arr
     return flat
 
@@ -45,11 +50,14 @@ def unflatten_like(template, flat):
     leaves = []
     for path, leaf in paths:
         key = SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
-        if key not in flat:
+        if key in flat:
+            value = np.asarray(flat[key])
+        elif key + BF16_TAG in flat:
+            value = np.asarray(flat[key + BF16_TAG]).view(jnp.bfloat16)
+        else:
             raise KeyError(f'checkpoint missing parameter {key!r}')
-        value = np.asarray(flat[key])
         if value.dtype.kind == 'V' and value.dtype.itemsize == 2:
-            # pre-fix artifact written with raw bf16 bytes (see flatten_tree)
+            # pre-tag artifact written with raw bf16 bytes (see flatten_tree)
             value = value.view(jnp.bfloat16)
         if value.shape != leaf.shape:
             raise ValueError(f'shape mismatch for {key!r}: checkpoint '

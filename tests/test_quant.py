@@ -209,13 +209,24 @@ class TestPipeline:
 
     def test_fp_checkpoint_into_quantized_pipeline_refuses(self, tiny,
                                                            tmp_path):
+        # own quantized pipeline: must not depend on an earlier test having
+        # quantized the shared class fixture
         from paintmind_tpu.models import pipeline as pl
         fp = pl.Pipeline(tiny.config, stage1_pretrained=False,
                          text_encoder=None, seed=3)
         path = str(tmp_path / 'fp.npz')
         fp.save_pretrained(path)
+        q = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                        text_encoder=None, seed=4).quantize('w8a8')
         with pytest.raises(RuntimeError, match='quantized'):
-            tiny.from_pretrained(path)
+            q.from_pretrained(path)
+
+    def test_double_quantize_refuses(self, tiny):
+        from paintmind_tpu.models import pipeline as pl
+        q = pl.Pipeline(tiny.config, stage1_pretrained=False,
+                        text_encoder=None, seed=6).quantize('w8a8')
+        with pytest.raises(RuntimeError, match='already quantized'):
+            q.quantize('w8')
 
     def test_quantized_artifact_round_trips_bit_exact(self, tiny, tmp_path):
         """Deployment flow: quantize once offline, save the int8 artifact,

@@ -40,19 +40,25 @@ def micro():
         abf = a8.astype(jnp.bfloat16)
         bbf = b8.astype(jnp.bfloat16)
 
-        f_bf = jax.jit(lambda x, y: jnp.dot(x, y,
-                                            preferred_element_type=jnp.bfloat16))
-        f_i8 = jax.jit(lambda x, y: jax.lax.dot_general(
-            x, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32))
+        # scalar reduce INSIDE the jitted program: the fence then transfers
+        # one scalar for both paths — an outside-jit fence would read the
+        # s32 output at 2x the bytes of bf16 and bias the very ratio this
+        # measures (the reduce itself fuses into the matmul consumer)
+        f_bf = jax.jit(lambda x, y: jnp.sum(
+            jnp.dot(x, y, preferred_element_type=jnp.bfloat16)
+            .astype(jnp.float32)))
+        f_i8 = jax.jit(lambda x, y: jnp.sum(
+            jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            .astype(jnp.float32)))
 
         for name, f, x, y in (('bf16', f_bf, abf, bbf),
                               ('int8', f_i8, a8, b8)):
-            _fence(f(x, y))  # compile+warm
+            float(f(x, y))  # compile+warm
             reps = []
             for _ in range(6):
                 t0 = time.time()
-                _fence(f(x, y))
+                float(f(x, y))
                 reps.append(time.time() - t0)
             dt = min(reps)
             tops = 2 * m * k * n / dt / 1e12
