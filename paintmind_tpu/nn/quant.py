@@ -1,11 +1,15 @@
 """Int8 post-training quantization for linear layers (inference only).
 
-TPU-first rationale: the v5e MXU runs s8 x s8 -> s32 matmuls at twice the
-bf16 peak (~394 vs ~197 TOPS), and int8 kernels halve the HBM bytes streamed
-per step.  The stage-2 sampler is compute-bound at batch 64 (BASELINE.md:
-~92 TFLOPs effective bf16), so dynamic W8A8 is the one remaining throughput
-lever; weight-only W8 targets the weight-streaming-bound small-batch
-serving regime instead.
+TPU-first rationale: the v5e MXU datasheet runs s8 x s8 -> s32 matmuls at
+twice the bf16 peak (~394 vs ~197 TOPS), and int8 kernels halve the HBM
+bytes streamed per step.  The stage-2 sampler is compute-bound at batch 64
+(BASELINE.md: ~92 TFLOPs effective bf16), so dynamic W8A8 is the remaining
+throughput lever on hardware whose XLA exposes that double-rate path;
+weight-only W8 targets the weight-streaming-bound small-batch serving
+regime, whose HBM-byte halving is hardware-independent.  Whether a given
+chip actually realizes the W8A8 win is a per-deployment measurement —
+``tools/bench_int8.py`` is the A/B; on this repo's hosted v5e the int8
+rate is NOT exposed (BASELINE.md calibration), so defaults stay bf16.
 
 The reference has no quantization support (this is an extension); the
 quantized pipeline keeps the reference's sampler semantics — only matmul
