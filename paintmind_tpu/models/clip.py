@@ -234,25 +234,51 @@ def convert_clip_visual(sd, prefix='visual.'):
     }
 
 
-def load_image_tower(path, dtype=jnp.float32):
+def load_image_tower(path, dtype=jnp.float32, heads=None):
     """Rebuild a CLIPImageEmbedder from params saved with
     utils.checkpoint.save_params (e.g. the ``tower.npz`` a
-    tools/train_imgvar.py run writes) — the architecture (layers, width,
-    patch size, grid) is inferred from the parameter shapes; heads follow
-    the ViT convention width // 64."""
-    flat = dict(np.load(path))
-    n_layers = 1 + max(int(k.split('/')[1]) for k in flat
-                       if k.startswith('resblocks/'))
+    tools/train_imgvar.py run writes).  Layers/width/patch/grid are
+    inferred from parameter shapes; the head count is NOT shape-derivable,
+    so it comes from (in priority order) the ``heads`` argument, a
+    ``__cfg__/heads`` entry embedded in the artifact (train_imgvar saves
+    one), or the ViT convention width // 64 — a tower built with any
+    other head count MUST carry one of the first two or attention math
+    silently diverges from training."""
+    from ..utils.checkpoint import load_flat, unflatten_like
+    flat = load_flat(path)
+    layer_ids = [int(k.split('/')[1]) for k in flat
+                 if k.startswith('resblocks/')]
+    if not layer_ids:
+        raise ValueError(f'{path}: no resblocks/* entries — not a '
+                         'CLIPImageEmbedder artifact')
+    n_layers = 1 + max(layer_ids)
     width = int(flat['class_embedding'].shape[0])
     patch = int(round((flat['conv1'].shape[0] // 3) ** 0.5))
     grid = int(round((flat['positional_embedding'].shape[0] - 1) ** 0.5))
+    if heads is None:
+        if '__cfg__/heads' in flat:
+            heads = int(flat['__cfg__/heads'])
+        else:
+            heads = max(width // 64, 1)
     cfg = CLIPVisionConfig(image_size=patch * grid, patch_size=patch,
-                           width=width, heads=max(width // 64, 1),
-                           layers=n_layers)
+                           width=width, heads=heads, layers=n_layers)
     tower = CLIPImageEmbedder(cfg=cfg, dtype=dtype)
-    from ..utils.checkpoint import unflatten_like
-    tower.params = unflatten_like(tower.params, flat)
+    tower.params = unflatten_like(
+        tower.params, {k: v for k, v in flat.items()
+                       if not k.startswith('__cfg__')})
     return tower
+
+
+def save_image_tower(path, tower):
+    """Save a CLIPImageEmbedder with its config embedded (so
+    load_image_tower reconstructs the exact architecture, heads
+    included)."""
+    from ..utils.checkpoint import save_params
+    cfg = tower.cfg
+    return save_params(path, {
+        **tower.params,
+        '__cfg__': {'heads': np.asarray(cfg.heads, np.int32)},
+    })
 
 
 class CLIPTextEmbedder:

@@ -525,14 +525,18 @@ class Pipeline:
         with self._text_lock:  # serving submits from concurrent threads
             if self.text_model is None:
                 tower = self.config.t5
-                if tower.startswith('clip-img'):
-                    from .clip import CLIPImageEmbedder
-                    self.text_model = CLIPImageEmbedder()
-                elif tower.startswith('clip'):
-                    from .clip import CLIPTextEmbedder
-                    layer = ('penultimate' if tower.endswith('penultimate')
-                             else 'last')
-                    self.text_model = CLIPTextEmbedder(layer=layer)
+                if tower.startswith('clip'):
+                    # fail loudly (same policy as the LPIPS tower): a bare
+                    # CLIP embedder would initialize RANDOM weights — a
+                    # served pipeline would silently condition on an
+                    # extractor unrelated to the one it trained with
+                    raise RuntimeError(
+                        f'pipeline tower {tower!r} has no pretrained CLIP '
+                        'weights reachable offline — pass the trained '
+                        'tower explicitly (text_encoder=..., e.g. '
+                        'clip.load_image_tower(tower.npz) saved by '
+                        'tools/train_imgvar.py, or serve.py '
+                        '--tower-checkpoint)')
                 else:
                     from .t5 import T5TextEncoder, T5_VERSIONS
                     version, _ = T5_VERSIONS[tower]

@@ -209,6 +209,8 @@ class GenerationEngine:
         full or ``max_wait`` has passed; incompatible arrivals are re-queued
         in their original order and picked up by the next group."""
         req, fut, t0 = first
+        if fut.cancelled():
+            return None
         sig = req.signature()
         group = [(req, fut, t0)]
         deadline = time.monotonic() + self.max_wait
@@ -224,6 +226,8 @@ class GenerationEngine:
             if item is None:  # close requested: finish this group first
                 stash.append(None)  # re-queued AFTER earlier arrivals so
                 break               # pre-close submissions still drain
+            if item[1].cancelled():  # client gave up (e.g. 503'd fan-out)
+                continue             # drop: don't burn a batch slot on it
             if item[0].signature() == sig:
                 group.append(item)
             else:
@@ -252,6 +256,8 @@ class GenerationEngine:
             for _, _, t0 in group:
                 self._latencies.append(now - t0)
         for i, (_, fut, _) in enumerate(group):
+            if fut.cancelled():  # client gave up while the batch ran
+                continue
             if err is not None:
                 fut.set_exception(err)
             else:

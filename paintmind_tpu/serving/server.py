@@ -165,14 +165,23 @@ class _Handler(BaseHTTPRequestHandler):
         ctx = np.asarray(pipe.embed_text(x[None]), np.float32)[0]
         kw = dict(self.defaults)
         for k in ('timesteps', 'topk', 'temperature', 'guidance_scale',
-                  'seed'):
+                  'cfg_warmup', 'seed'):
             if k in req:
                 kw[k] = req[k]
         seed = kw.pop('seed', None)
-        futs = [self.engine.submit(GenerateRequest(
+        futs = []
+        try:
+            for i in range(n):
+                futs.append(self.engine.submit(GenerateRequest(
                     context=ctx,
-                    seed=None if seed is None else int(seed) + i, **kw))
-                for i in range(n)]
+                    seed=None if seed is None else int(seed) + i, **kw)))
+        except Exception:
+            # overload partway through the fan-out: drop what we queued —
+            # orphaned requests would burn full sampler batches whose
+            # results nobody reads
+            for f in futs:
+                f.cancel()
+            raise
         return {'images': [_img_to_png_b64(f.result()) for f in futs]}
 
     def _reconstruct(self, req):

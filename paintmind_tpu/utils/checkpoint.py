@@ -66,6 +66,21 @@ def unflatten_like(template, flat):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_flat(path):
+    """npz → flat {key: ndarray} with bf16 tags resolved (see BF16_TAG)."""
+    out = {}
+    with np.load(path) as data:
+        for k in data.files:
+            v = data[k]
+            if k.endswith(BF16_TAG):
+                out[k[:-len(BF16_TAG)]] = v.view(jnp.bfloat16)
+            elif v.dtype.kind == 'V' and v.dtype.itemsize == 2:
+                out[k] = v.view(jnp.bfloat16)  # pre-tag raw bf16 artifact
+            else:
+                out[k] = v
+    return out
+
+
 def save_params(path, params):
     if str(path).endswith('.npz'):
         np.savez(path, **flatten_tree(params))

@@ -97,19 +97,23 @@ def test_clip_image_conditioning_end_to_end(rng):
     assert pipe.embed_text(np.asarray(ctx)).shape == ctx.shape
 
 
-def test_default_tower_dispatch_builds_clip():
-    # full-size registry entry: _get_text_model resolves the tower class
-    # from the config name (random weights offline; converters exist)
+def test_default_tower_dispatch_refuses_random_clip():
+    # 'auto' must NOT silently build a random-weight CLIP tower (a served
+    # pipeline would condition on an extractor unrelated to training) —
+    # fail loudly and point at the explicit-tower path; an explicit tower
+    # object passes straight through
     pipe = pl.Pipeline(pl.PipelineConfig(
         stage1='test-vqgan-clipcond', t5='clip-l', dim=32, dim_head=16,
         mlp_dim=64, num_head=2, depth=2, dropout=0.0,
         vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=768),
         stage1_pretrained=False, seed=0)
-    tower = pipe._get_text_model()
-    assert isinstance(tower, clip_mod.CLIPTextEmbedder)
-    assert tower.layer == 'last'
-    with pytest.raises(RuntimeError, match='tokenizer'):
-        tower(['a photo of a cat'])
+    with pytest.raises(RuntimeError, match='tower'):
+        pipe._get_text_model()
+    explicit = clip_mod.CLIPTextEmbedder(
+        cfg=clip_mod.CLIPTextConfig(width=48, heads=2, layers=1), seed=0)
+    pipe2 = pl.Pipeline(pipe.config, stage1_pretrained=False,
+                        text_encoder=explicit, seed=0)
+    assert pipe2._get_text_model() is explicit
 
 
 def test_factory_builds_clip_versions():

@@ -48,8 +48,11 @@ def main():
     ap.add_argument('--result-folder', default='./results/paintmind_512')
     ap.add_argument('--log-dir', default='./log/paintmind_512')
     ap.add_argument('--resume', default=None,
-                    help='orbax state dir (paintmind_state_N) to resume from;'
-                         ' --steps counts ADDITIONAL microbatch steps')
+                    help='orbax state dir (paintmind_state_N) to resume '
+                         'from; --steps stays the TOTAL step target (the '
+                         'restored optimizer count continues the SAME '
+                         'cosine horizon, so a continuation never idles '
+                         'at lr-min)')
     args = ap.parse_args()
 
     import jax
@@ -100,9 +103,17 @@ def main():
     valid_loader = DeviceCacheLoader(paths[-n_valid:], min(4, n_valid),
                                      img_size=512, is_train=False, seed=11)
 
+    resume_step = 0
+    if args.resume:
+        import re
+        m = re.search(r'(\d+)$', os.path.basename(args.resume.rstrip('/')))
+        if not m:
+            raise SystemExit(f'cannot infer step from {args.resume!r}')
+        resume_step = int(m.group(1))
     steps_per_epoch = max(len(train_loader), 1) * args.grad_accum
-    epochs = max(args.steps // steps_per_epoch, 1)
-    print(f'{epochs} epochs of {steps_per_epoch} microbatch steps')
+    epochs = max((args.steps - resume_step) // steps_per_epoch, 1)
+    print(f'{epochs} epochs of {steps_per_epoch} microbatch steps'
+          + (f' (resuming at {resume_step})' if resume_step else ''))
 
     trainer = pm.PaintMindTrainer(
         model, dataset=None, num_epoch=epochs, optim_name='adamw',

@@ -84,8 +84,9 @@ def main():
     import jax
     import jax.numpy as jnp
     import paintmind_tpu as pm
-    from paintmind_tpu.models.clip import CLIPImageEmbedder, CLIPVisionConfig
-    from paintmind_tpu.utils.checkpoint import save_params
+    from paintmind_tpu.models.clip import (CLIPImageEmbedder,
+                                           CLIPVisionConfig,
+                                           save_image_tower)
     from paintmind_tpu.utils.compile_cache import enable_persistent_cache
     from paintmind_tpu.utils.device_cache import DeviceCacheLoader
     from paintmind_tpu.utils.image_grid import save_image_grid
@@ -97,7 +98,7 @@ def main():
         dtype=jnp.bfloat16, seed=args.tower_seed)
     os.makedirs(os.path.join(args.result_folder, 'models'), exist_ok=True)
     tower_path = os.path.join(args.result_folder, 'models', 'tower.npz')
-    save_params(tower_path, tower.params)
+    save_image_tower(tower_path, tower)
     print(f'frozen conditioning tower ({args.tower_layers} blocks, '
           f'seed {args.tower_seed}) saved to {tower_path}')
 
