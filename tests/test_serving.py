@@ -435,3 +435,22 @@ def test_engine_serves_quantized_pipeline():
     for img in outs:
         assert img.shape == (32, 32, 3)
         assert np.isfinite(img).all()
+
+
+def test_cancelled_requests_do_not_wedge_the_engine(pipe):
+    """A future cancelled after submit (e.g. a 503'd /variations fan-out)
+    must neither crash the dispatch thread (set_result on a cancelled
+    future raises) nor block later requests; whether the cancel wins the
+    race is timing-dependent, but every outcome must be clean."""
+    with GenerationEngine(pipe, max_batch=4, max_wait_ms=400) as eng:
+        fa = eng.submit(GenerateRequest(timesteps=2, topk=2, seed=0))
+        fb = eng.submit(GenerateRequest(timesteps=2, topk=2, seed=1))
+        won = fb.cancel()
+        assert fa.result(timeout=120).shape == (32, 32, 3)
+        if won:
+            assert fb.cancelled()
+        else:
+            assert fb.result(timeout=120).shape == (32, 32, 3)
+        # dispatcher must still be alive after handling the cancellation
+        fc = eng.submit(GenerateRequest(timesteps=2, topk=2, seed=2))
+        assert fc.result(timeout=120).shape == (32, 32, 3)
