@@ -25,6 +25,9 @@ def main():
     ap.add_argument('--mode', default='generate',
                     choices=['generate', 'paint'])
     ap.add_argument('--checkpoint', default=None)
+    ap.add_argument('--quantize', choices=('w8', 'w8a8'), default=None,
+                    help='int8-quantize the stage-2 transformer first '
+                         '(serving A/B for nn/quant.py)')
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -38,6 +41,8 @@ def main():
                     compute_dtype=jnp.bfloat16)
     if args.checkpoint:
         pipe.from_pretrained(args.checkpoint)
+    if args.quantize:
+        pipe.quantize(args.quantize)
 
     rng = np.random.default_rng(0)
     ctxs = [rng.standard_normal((77, 1024)).astype(np.float32)
