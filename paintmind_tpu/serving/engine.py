@@ -325,9 +325,10 @@ class GenerationEngine:
         ctx = None
         if r0.context is not None:
             ctx = padded([np.asarray(r.context, np.float32) for r in reqs])
-        # rect + mode → per-sample keep-mask rows; pad rows keep everything
-        # (timesteps≥1 regenerates ≥1 token even for all-keep rows — the
-        # merged trajectory still returns the original content there)
+        # rect + mode → per-sample keep-mask rows; padded() fills the pad
+        # rows with COPIES of request 0's mask (so they regenerate inside
+        # its rect like any real row) — their outputs are sliced off below
+        # and never read, they only keep the batch at the bucket size
         masks = np.concatenate(
             [np.asarray(self.pipeline._rect_latent_mask(
                 tuple(r.coord), inside=0 if r.mode == 'inpaint' else 1))

@@ -48,11 +48,21 @@ def _img_to_png_b64(img):
     return base64.b64encode(buf.getvalue()).decode('ascii')
 
 
+class ClientError(ValueError):
+    """Request-validation failure → HTTP 400.  Handlers raise this ONLY
+    for malformed input; any other exception (including ValueError from
+    inside the pipeline) is a server-side 500 so internal defects are
+    never misreported as client errors."""
+
+
 def _png_b64_to_img(b64, image_size):
     """base64 image -> (H, W, 3) float in [-1, 1] at the model resolution."""
     from PIL import Image
     from ..utils.transform import stage1_transform
-    pil = Image.open(io.BytesIO(base64.b64decode(b64))).convert('RGB')
+    try:
+        pil = Image.open(io.BytesIO(base64.b64decode(b64))).convert('RGB')
+    except Exception as e:
+        raise ClientError(f'undecodable image payload: {e}') from e
     return np.asarray(
         stage1_transform(img_size=image_size, is_train=False)(pil))
 
@@ -97,7 +107,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200, self._variations(req))
         except EngineOverloaded as e:
             return self._reply(503, {'error': str(e), 'retry': True})
-        except (ValueError, TypeError) as e:  # validation → client error
+        except ClientError as e:  # request validation → client error
             return self._reply(400, {'error': str(e)})
         except Exception as e:  # noqa: BLE001 — report, keep serving
             return self._reply(500, {'error': f'{type(e).__name__}: {e}'})
@@ -119,18 +129,18 @@ class _Handler(BaseHTTPRequestHandler):
     def _paint(self, req, mode):
         for k in ('image', 'coord'):
             if k not in req:
-                raise ValueError(f"missing '{k}' "
+                raise ClientError(f"missing '{k}' "
                                  "(image: base64; coord: [x, y, h, w])")
         coord = req['coord']
         size = self.engine.pipeline.image_size
         if (not isinstance(coord, (list, tuple)) or len(coord) != 4
                 or not all(isinstance(v, (int, float)) for v in coord)):
-            raise ValueError(
+            raise ClientError(
                 f'coord must be a 4-number [x, y, h, w] rect, got {coord!r}')
         x0, y0, h, w = coord
         if not (0 <= x0 <= size and 0 <= y0 <= size
                 and 0 <= h <= size and 0 <= w <= size):
-            raise ValueError(f'coord {coord!r} outside the {size}px image')
+            raise ClientError(f'coord {coord!r} outside the {size}px image')
         x = _png_b64_to_img(req['image'], self.engine.pipeline.image_size)
         context = req.get('context')
         if context is not None:
@@ -144,20 +154,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _variations(self, req):
         if 'image' not in req:
-            raise ValueError("missing 'image' (base64 PNG/JPEG reference)")
+            raise ClientError("missing 'image' (base64 PNG/JPEG reference)")
         pipe = self.engine.pipeline
         tower_ok = pipe.config.t5.startswith('clip-img')
         if not tower_ok:
             from ..models.clip import CLIPImageEmbedder
             tower_ok = isinstance(pipe.text_model, CLIPImageEmbedder)
         if not tower_ok:
-            raise ValueError(
+            raise ClientError(
                 "this pipeline's conditioning tower does not take images — "
                 "serve an image-conditioned pipeline (e.g. "
                 "'paintmindv1-imgvar') for /variations")
-        n = int(req.get('num', 4))
+        try:
+            n = int(req.get('num', 4))
+        except (TypeError, ValueError):
+            raise ClientError(f"num must be an int, got {req['num']!r}")
         if not 1 <= n <= 16:
-            raise ValueError(f'num must be in [1, 16], got {n}')
+            raise ClientError(f'num must be in [1, 16], got {n}')
         x = _png_b64_to_img(req['image'], pipe.image_size)
         # embed once on this handler thread; the N samples share the context
         # and coalesce in the dispatch batch (distinct batch rows draw
@@ -186,7 +199,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _reconstruct(self, req):
         if 'image' not in req:
-            raise ValueError("missing 'image' (base64 PNG/JPEG)")
+            raise ClientError("missing 'image' (base64 PNG/JPEG)")
         x = _png_b64_to_img(req['image'], self.engine.pipeline.image_size)
         rec = self.engine.submit(ReconstructRequest(image=x)).result()
         return {'image': _img_to_png_b64(rec)}

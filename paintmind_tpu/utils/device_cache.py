@@ -171,23 +171,34 @@ class DeviceCacheLoader:
         return self._data.size  # uint8: bytes == elements
 
 
-def make_split_cache_loaders(source, train_batch, valid_batch, *,
-                             valid_size=32, seed=42, hflip=True,
-                             img_size=256, dtype=jnp.float32):
-    """Deterministic train/valid split → two DeviceCacheLoaders (mirrors
-    native.fastloader.make_split_loaders)."""
+def split_image_paths(source, valid_size=32, seed=42):
+    """THE train/valid split rule (single source of truth — evals that
+    re-derive the held-out set must call this, or they silently score
+    train images): seed-42 permutation, valid = first min(valid_size,
+    max(N//10, 1)) entries.  Returns (train_paths, valid_paths)."""
     paths = _list_images(source)
     if not paths:
         raise ValueError('no images to cache')
     perm = np.random.default_rng(seed).permutation(len(paths))
     valid_n = min(valid_size, max(len(paths) // 10, 1))
-    train = DeviceCacheLoader([paths[i] for i in perm[valid_n:]],
+    return ([paths[i] for i in perm[valid_n:]],
+            [paths[i] for i in perm[:valid_n]])
+
+
+def make_split_cache_loaders(source, train_batch, valid_batch, *,
+                             valid_size=32, seed=42, hflip=True,
+                             img_size=256, dtype=jnp.float32):
+    """Deterministic train/valid split → two DeviceCacheLoaders (mirrors
+    native.fastloader.make_split_loaders)."""
+    train_paths, valid_paths = split_image_paths(source, valid_size, seed)
+    valid_n = len(valid_paths)
+    train = DeviceCacheLoader(train_paths,
                               train_batch, img_size=img_size, is_train=True,
                               hflip=hflip, seed=seed, dtype=dtype)
-    valid = DeviceCacheLoader([paths[i] for i in perm[:valid_n]],
+    valid = DeviceCacheLoader(valid_paths,
                               min(valid_batch, valid_n), img_size=img_size,
                               is_train=False, seed=seed, dtype=dtype,
                               drop_last=False)
-    print(f'device cache: {len(paths) - valid_n} train / {valid_n} valid '
+    print(f'device cache: {len(train_paths)} train / {valid_n} valid '
           f'images, {train.nbytes / 1e6:.0f} MB resident')
     return train, valid

@@ -44,13 +44,16 @@ def main():
         from PIL import Image
         from paintmind_tpu.utils.transform import stage1_transform
         t = stage1_transform(img_size=args.img_size, is_train=False)
-        paths = [os.path.join(args.dir, f)
-                 for f in sorted(os.listdir(args.dir))
-                 if f.lower().endswith(('.jpg', '.jpeg', '.png'))]
+        from paintmind_tpu.utils.device_cache import (_list_images,
+                                                      split_image_paths)
         if args.valid_split:
-            perm = np.random.default_rng(42).permutation(len(paths))
-            valid_n = min(args.valid_split, max(len(paths) // 10, 1))
-            paths = [paths[i] for i in perm[:valid_n]]
+            # the SAME split rule the training loaders use — re-deriving
+            # it here would risk silently scoring train images as
+            # "held-out" if either side drifted
+            _, paths = split_image_paths(args.dir,
+                                         valid_size=args.valid_split)
+        else:
+            paths = _list_images(args.dir)
         paths = paths[:args.n]
         real = np.stack([np.asarray(t(Image.open(p).convert('RGB')))
                          for p in paths])

@@ -95,7 +95,9 @@ def main():
     model.params = {**adapted, 'vqgan': model.params['vqgan']}
     model.vqgan.params = model.params['vqgan']
 
-    n_valid = min(args.valid_size, len(paths) // 10)
+    # >=1 so paths[:-n_valid] can never silently become the EMPTY
+    # train split (len//10 == 0 on tiny corpora)
+    n_valid = max(min(args.valid_size, len(paths) // 10), 1)
     micro = args.batch_size
     train_loader = DeviceCacheLoader(paths[:-n_valid], micro * args.grad_accum,
                                      img_size=512, is_train=True, hflip=False,

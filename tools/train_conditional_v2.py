@@ -117,7 +117,9 @@ def main():
         model.from_pretrained(args.init)
 
     # held-out tail split; hflip=False (stage-2 transform parity)
-    n_valid = min(args.valid_size, len(paths) // 10)
+    # >=1 so paths[:-n_valid] can never silently become the EMPTY
+    # train split (len//10 == 0 on tiny corpora)
+    n_valid = max(min(args.valid_size, len(paths) // 10), 1)
     train_loader = DeviceCacheLoader(paths[:-n_valid], args.batch_size,
                                      is_train=True, hflip=False, seed=11,
                                      return_indices=True)

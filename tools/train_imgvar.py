@@ -113,7 +113,9 @@ def main():
 
     from paintmind_tpu.utils.device_cache import _list_images
     paths = _list_images(args.data)
-    n_valid = min(args.valid_size, len(paths) // 10)
+    # >=1 so paths[:-n_valid] can never silently become the EMPTY
+    # train split (len//10 == 0 on tiny corpora)
+    n_valid = max(min(args.valid_size, len(paths) // 10), 1)
     train_loader = SelfConditionedLoader(DeviceCacheLoader(
         paths[:-n_valid], args.batch_size, is_train=True, hflip=False,
         seed=11))
