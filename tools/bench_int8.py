@@ -68,7 +68,7 @@ def micro():
     return results
 
 
-def macro():
+def macro(checkpoint=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -85,6 +85,8 @@ def macro():
     for mode in (None, 'w8', 'w8a8'):
         pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
                         compute_dtype=jnp.bfloat16)
+        if checkpoint:  # real weights → the agreement numbers are the
+            pipe.from_pretrained(checkpoint)  # deployment quality signal
         if mode:
             pipe.quantize(mode)
         # logit agreement on a fixed input (same seed-0 weights every loop)
@@ -128,6 +130,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--skip-macro', action='store_true')
     ap.add_argument('--skip-micro', action='store_true')
+    ap.add_argument('--checkpoint', default=None,
+                    help='trained pipeline .npz — the macro logit-agreement '
+                         'numbers then measure real-weight quality')
     ap.add_argument('--out', default=None, help='write results JSON here')
     args = ap.parse_args()
 
@@ -137,7 +142,7 @@ def main():
     if not args.skip_micro:
         results.update(micro())
     if not args.skip_macro:
-        results.update(macro())
+        results.update(macro(args.checkpoint))
     print(json.dumps(results, indent=1))
     if args.out:
         with open(args.out, 'w') as f:
