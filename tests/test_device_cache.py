@@ -126,3 +126,22 @@ def test_return_indices_tracks_items(image_folder):
     batches = list(loader)
     idx = np.concatenate([np.asarray(i) for _, i in batches])
     assert sorted(idx.tolist()) == list(range(12))  # each item exactly once
+
+
+def test_split_image_paths_is_the_loader_split(tmp_path):
+    """eval tools re-derive the held-out set through split_image_paths —
+    it must partition identically to make_split_cache_loaders (same rule,
+    single source of truth) and cover every file exactly once."""
+    from paintmind_tpu.utils.device_cache import split_image_paths
+    import numpy as np
+    from PIL import Image
+    for i in range(23):
+        Image.fromarray(np.full((8, 8, 3), i * 11, np.uint8)).save(
+            tmp_path / f'img_{i:03d}.png')
+    train, valid = split_image_paths(str(tmp_path), valid_size=4)
+    assert len(valid) == min(4, max(23 // 10, 1)) == 2
+    assert sorted(train + valid) == sorted(
+        str(tmp_path / f'img_{i:03d}.png') for i in range(23))
+    assert not set(train) & set(valid)
+    # deterministic across calls (seeded permutation)
+    assert split_image_paths(str(tmp_path), valid_size=4) == (train, valid)
