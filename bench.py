@@ -42,8 +42,20 @@ def main():
                          '(nn/quant.py); default stays the bf16 headline')
     args = ap.parse_args()
 
+    # fail fast when the hosted TPU tunnel is down: device discovery
+    # otherwise blocks indefinitely and the driver only sees a hang
+    import signal
+
+    def _discovery_timeout(signum, frame):
+        raise SystemExit('TPU device discovery timed out after 600s — '
+                         'the axon tunnel is unreachable; no benchmark '
+                         'number can be produced')
+
+    signal.signal(signal.SIGALRM, _discovery_timeout)
+    signal.alarm(600)
     cache = enable_persistent_cache()
     log('devices:', jax.devices(), '| compile cache:', cache)
+    signal.alarm(0)
     pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
                     compute_dtype=jnp.bfloat16)
     if args.quant:
