@@ -569,3 +569,37 @@ def test_paintmind_trainer_with_external_native_loader(tmp_path):
     trainer.train()
     assert trainer.steps == 2  # 18 train imgs // 8 = 2 host steps
     assert np.isfinite(trainer.log['loss'])
+
+
+def test_lion_matches_reference_torch_lion():
+    """Golden: optax-based optim.lion reproduces the reference Lion
+    (reference optim/lion.py:20-83 — decoupled decay p*(1-lr*wd) then
+    sign(b1*m + (1-b1)*g) update, m <- b2*m + (1-b2)*g) step for step on
+    identical gradient sequences."""
+    import torch
+    from reference_oracle import ref_module
+    import jax.numpy as jnp
+    from paintmind_tpu import optim as pmoptim
+
+    ref_lion_mod = ref_module('optim.lion')
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((5, 7)).astype(np.float32)
+    grads = [rng.standard_normal((5, 7)).astype(np.float32)
+             for _ in range(6)]
+    lr, wd, betas = 1e-2, 0.05, (0.9, 0.99)
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = ref_lion_mod.Lion([tp], lr=lr, betas=betas, weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+    want = tp.detach().numpy()
+
+    tx = pmoptim.lion(lr, betas=betas, weight_decay=wd)
+    params = jnp.asarray(p0)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates  # optax convention: additive updates
+    np.testing.assert_allclose(np.asarray(params), want,
+                               rtol=2e-5, atol=2e-6)
