@@ -113,15 +113,17 @@ class _TrainerBase:
         return self._ckptr
 
     def _save_state(self, name):
-        """Async atomic save (orbax): staging happens now, the write
-        completes in the background; the next save (or trainer exit)
-        synchronizes.  Exceeds the reference's blocking torch.save
-        (trainer.py:261-264)."""
+        """Async atomic save (orbax): the device→host staging copy happens
+        inside ``save()`` (so the donated train-step buffers are safe to
+        reuse the moment it returns), the file write completes in the
+        background; the next save (or trainer exit) synchronizes.  Sharded
+        leaves (ZeRO-1 optimizer state) are staged shard-by-shard from
+        their owning devices — no host-side full-array gather — unlike the
+        reference's blocking whole-model torch.save (trainer.py:261-264)."""
         path = os.path.abspath(os.path.join(self.model_saved_dir, name))
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()  # at most one save in flight
-        ckptr.save(path, jax.tree_util.tree_map(np.asarray, self.state),
-                   force=True)
+        ckptr.save(path, self.state, force=True)
         return path
 
     def finalize_checkpoints(self):
@@ -129,13 +131,19 @@ class _TrainerBase:
             self._ckptr.wait_until_finished()
 
     def _restore_state(self, path):
+        """Restore straight into the live placement: the abstract template
+        carries each leaf's target sharding, so orbax puts shards directly
+        onto their owning devices — no host-side materialization of the
+        full state, and it works across topology changes (the on-disk
+        format is placement-free, so a checkpoint written under one mesh
+        restores under another; see tests/test_checkpoint_sharded.py)."""
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()
-        template = jax.tree_util.tree_map(np.asarray, self.state)
-        restored = ckptr.restore(os.path.abspath(path), template)
-        self.state = self._place_state(
-            jax.tree_util.tree_map(jnp.asarray, restored),
-            self._opt_keys, self._zero)
+        template = jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                           sharding=l.sharding)
+            if isinstance(l, jax.Array) else l, self.state)
+        self.state = ckptr.restore(os.path.abspath(path), template)
         return self
 
 
