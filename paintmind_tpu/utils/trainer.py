@@ -130,6 +130,35 @@ class _TrainerBase:
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
 
+    keep_last = None  # retention policy: None = keep every checkpoint
+
+    def _prune_checkpoints(self, prefix):
+        """Retention: keep only the newest ``keep_last`` checkpoint
+        generations (each generation = ``<prefix>_state_<N>`` orbax dir +
+        ``<prefix>_step_<N>.npz`` model export).  A 211M-param train state
+        is ~3 GB on disk — long runs with periodic saves fill volumes
+        (the reference accumulates snapshots unboundedly,
+        trainer.py:261-264).  Only called right after a save, so every
+        pruned generation's async write has already been synchronized by
+        the save's ``wait_until_finished``."""
+        if not self.keep_last:
+            return
+        import re
+        import shutil
+        pat = re.compile(re.escape(prefix) + r'_(state|step)_(\d+)(\.npz)?$')
+        gens = {}
+        for name in os.listdir(self.model_saved_dir):
+            m = pat.match(name)
+            if m:
+                gens.setdefault(int(m.group(2)), []).append(name)
+        for step in sorted(gens)[:-self.keep_last]:
+            for name in gens[step]:
+                path = os.path.join(self.model_saved_dir, name)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+
     def _restore_state(self, path):
         """Restore straight into the live placement: the abstract template
         carries each leaf's target sharding, so orbax puts shards directly
@@ -160,7 +189,7 @@ class VQGANTrainer(_TrainerBase):
                  disc_config=None, remat=False, zero_sharding=False,
                  eval_rfid=False, ema_decay=None,
                  codebook_restart_every=None, train_loader=None,
-                 valid_loader=None, share_forward=True):
+                 valid_loader=None, share_forward=True, keep_last=None):
         del pin_memory  # host staging handled by shard_batch
         from .compile_cache import enable_persistent_cache
         enable_persistent_cache()
@@ -169,6 +198,7 @@ class VQGANTrainer(_TrainerBase):
         set_active_mesh(self.mesh)  # lets the Pallas kernels shard themselves
         self.num_epoch = num_epoch
         self.save_every = save_every
+        self.keep_last = keep_last
         self.samp_every = sample_every
         self.grad_accum = grad_accum_steps
         self.log_dir = log_dir
@@ -329,7 +359,9 @@ class VQGANTrainer(_TrainerBase):
         self._last_saved_steps = self.steps
         self.vqvae.save_pretrained(
             os.path.join(self.model_saved_dir, f'vit_vq_step_{self.steps}.npz'))
-        return self._save_state(f'vit_vq_state_{self.steps}')
+        path = self._save_state(f'vit_vq_state_{self.steps}')
+        self._prune_checkpoints('vit_vq')
+        return path
 
     def resume(self, path):
         """Resume assumes the same grad_accum_steps as the saving run:
@@ -385,7 +417,8 @@ class PaintMindTrainer(_TrainerBase):
                  max_grad_norm=1.0, save_every=10000, sample_every=1000,
                  result_folder=None, log_dir='./log', seed=42, mesh=None,
                  cfg_p=0.1, log_every=1, text_embedder=None, remat=False,
-                 zero_sharding=False, ema_decay=None, **kwargs):
+                 zero_sharding=False, ema_decay=None, keep_last=None,
+                 **kwargs):
         # reference kwarg is `optim`; shadowed by our optim module import
         optim_name = optim_name or kwargs.pop('optim', 'lion')
         del pin_memory
@@ -396,6 +429,7 @@ class PaintMindTrainer(_TrainerBase):
         set_active_mesh(self.mesh)  # lets the Pallas kernels shard themselves
         self.num_epoch = num_epoch
         self.save_every = save_every
+        self.keep_last = keep_last
         self.sample_every = sample_every
         self.cfg_p = cfg_p
         self.log_dir = log_dir
@@ -532,7 +566,9 @@ class PaintMindTrainer(_TrainerBase):
         self._last_saved_steps = self.steps
         self.model.save_pretrained(os.path.join(
             self.model_saved_dir, f'paintmind_step_{self.steps}.npz'))
-        return self._save_state(f'paintmind_state_{self.steps}')
+        path = self._save_state(f'paintmind_state_{self.steps}')
+        self._prune_checkpoints('paintmind')
+        return path
 
     def resume(self, path):
         """Resume assumes the same grad_accum_steps as the saving run:

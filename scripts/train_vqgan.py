@@ -24,6 +24,9 @@ def main():
     p.add_argument('--result-folder', default='./results/vqgan')
     p.add_argument('--log-dir', default='./log')
     p.add_argument('--save-every', type=int, default=10000)
+    p.add_argument('--keep-last', type=int, default=None,
+                   help='retention: keep only the newest N '
+                        'checkpoint generations')
     p.add_argument('--sample-every', type=int, default=1000)
     p.add_argument('--resume', default=None)
     p.add_argument('--num-workers', type=int, default=8)
@@ -105,7 +108,7 @@ def main():
         lr_min=args.lr_min, warmup_steps=args.warmup_steps,
         warmup_lr_init=args.warmup_lr_init, decay_steps=args.decay_steps,
         batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
-        mixed_precision=args.mixed_precision, save_every=args.save_every,
+        mixed_precision=args.mixed_precision, save_every=args.save_every, keep_last=args.keep_last,
         sample_every=args.sample_every, result_folder=args.result_folder,
         log_dir=args.log_dir, num_workers=args.num_workers,
         perceptual_weights=args.perceptual, d_weight=args.d_weight,

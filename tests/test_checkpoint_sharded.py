@@ -148,3 +148,30 @@ def test_trainer_resume_across_meshes(tmp_path):
     leaf = jax.tree_util.tree_leaves(t2.state['g_opt'])[0]
     assert leaf.sharding.mesh.shape == t2.mesh.shape
     assert int(t2.state['step']) == int(t1.state['step'])
+
+
+def test_keep_last_prunes_old_generations(tmp_path):
+    """Retention policy: keep_last=2 leaves only the two newest
+    (state dir + npz export) generations; unrelated files survive."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+    from test_training import SMALL_VQ, DCFG, _SynthDataset
+
+    t = VQGANTrainer(VQModel(SMALL_VQ, seed=0), _SynthDataset(48, 32),
+                     num_epoch=1, valid_size=8, batch_size=16, num_workers=1,
+                     mixed_precision='no', save_every=100, sample_every=100,
+                     perceptual_weights='none', disc_config=DCFG,
+                     keep_last=2, result_folder=str(tmp_path),
+                     log_dir=str(tmp_path / 'log'))
+    other = os.path.join(t.model_saved_dir, 'tower.npz')
+    open(other, 'wb').close()          # sidecar files are never pruned
+    for step in (1, 2, 3):
+        t.steps = step
+        t.save()
+    t.finalize_checkpoints()
+    names = sorted(os.listdir(t.model_saved_dir))
+    assert names == ['tower.npz',
+                     'vit_vq_state_2', 'vit_vq_state_3',
+                     'vit_vq_step_2.npz', 'vit_vq_step_3.npz']
+    # the survivors still restore
+    t.resume(os.path.join(t.model_saved_dir, 'vit_vq_state_3'))

@@ -31,6 +31,9 @@ def main():
     ap.add_argument('--d-weight', type=float, default=0.1)
     ap.add_argument('--perceptual', default='random')
     ap.add_argument('--save-every', type=int, default=1500)
+    ap.add_argument('--keep-last', type=int, default=None,
+                   help='retention: keep only the newest N '
+                        'checkpoint generations')
     ap.add_argument('--sample-every', type=int, default=750)
     ap.add_argument('--result-folder', default='./results/vqgan_512')
     ap.add_argument('--log-dir', default='./log/vqgan_512')
@@ -65,7 +68,7 @@ def main():
         model, dataset=None, num_epoch=epochs, lr=args.lr, lr_min=1e-5,
         warmup_steps=100, warmup_lr_init=1e-6, decay_steps=args.steps,
         batch_size=args.batch_size, grad_accum_steps=args.grad_accum,
-        mixed_precision='bf16', save_every=args.save_every,
+        mixed_precision='bf16', save_every=args.save_every, keep_last=args.keep_last,
         sample_every=args.sample_every, result_folder=args.result_folder,
         log_dir=args.log_dir, perceptual_weights=args.perceptual,
         d_weight=args.d_weight, remat=True, ema_decay=0.999,

@@ -44,6 +44,9 @@ def main():
     ap.add_argument('--cfg-p', type=float, default=0.1)
     ap.add_argument('--valid-size', type=int, default=16)
     ap.add_argument('--save-every', type=int, default=1000)
+    ap.add_argument('--keep-last', type=int, default=None,
+                   help='retention: keep only the newest N '
+                        'checkpoint generations')
     ap.add_argument('--log-every', type=int, default=50)
     ap.add_argument('--result-folder', default='./results/paintmind_512')
     ap.add_argument('--log-dir', default='./log/paintmind_512')
@@ -122,7 +125,7 @@ def main():
         lr=args.lr, lr_min=args.lr_min, warmup_steps=args.warmup_steps,
         decay_steps=args.steps, batch_size=micro,
         grad_accum_steps=args.grad_accum, mixed_precision='bf16', remat=True,
-        ema_decay=0.999, cfg_p=args.cfg_p, save_every=args.save_every,
+        ema_decay=0.999, cfg_p=args.cfg_p, save_every=args.save_every, keep_last=args.keep_last,
         sample_every=10**9, log_every=args.log_every,
         result_folder=args.result_folder, log_dir=args.log_dir,
         text_embedder=embed,

@@ -72,6 +72,9 @@ def main():
     ap.add_argument('--cfg-p', type=float, default=0.1)
     ap.add_argument('--valid-size', type=int, default=64)
     ap.add_argument('--save-every', type=int, default=4000)
+    ap.add_argument('--keep-last', type=int, default=None,
+                   help='retention: keep only the newest N '
+                        'checkpoint generations')
     ap.add_argument('--sample-every', type=int, default=2000)
     ap.add_argument('--log-every', type=int, default=50,
                     help='metric-fetch cadence; 1 would sync the device '
@@ -142,7 +145,7 @@ def main():
         lr=args.lr, lr_min=args.lr_min, warmup_steps=args.warmup_steps,
         decay_steps=args.steps, batch_size=args.batch_size,
         grad_accum_steps=1, mixed_precision='bf16', remat=True,
-        ema_decay=0.999, cfg_p=args.cfg_p, save_every=args.save_every,
+        ema_decay=0.999, cfg_p=args.cfg_p, save_every=args.save_every, keep_last=args.keep_last,
         sample_every=args.sample_every, log_every=args.log_every,
         result_folder=args.result_folder,
         log_dir=args.log_dir, text_embedder=embed,
