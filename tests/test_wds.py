@@ -1,0 +1,145 @@
+"""WebDataset-style sharded-tar streaming pipeline (utils/wds.py).
+
+Covers the production input path the map-style adapters can't: packed
+sequential tar shards, seeded two-level shuffling, per-rank shard
+ownership for multi-host data parallelism, shard-granular resume, and
+the iterable batch loader feeding a trainer through its external-loader
+hook (capability superset of reference utils/datasets.py + torch
+DataLoader usage in reference utils/trainer.py:97-101).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from paintmind_tpu.utils.wds import (IterableDataLoader, ShardedTarDataset,
+                                     write_shards)
+
+
+def _corpus(tmp_path, n=12):
+    d = tmp_path / 'imgs'
+    d.mkdir(exist_ok=True)
+    for i in range(n):
+        # pixel value == item id, so items are identifiable after decode
+        Image.fromarray(np.full((8, 8, 3), i, np.uint8)).save(
+            d / f'item_{i:03d}.png')
+    return str(d)
+
+
+def _ids(items):
+    out = []
+    for it in items:
+        img = it[0] if isinstance(it, tuple) else it
+        out.append(int(np.asarray(img)[0, 0, 0]))
+    return out
+
+
+def test_write_shards_and_index(tmp_path):
+    src = _corpus(tmp_path)
+    shards = write_shards(src, str(tmp_path / 'train'), shard_size=5)
+    assert [os.path.basename(s) for s in shards] == [
+        'train-00000.tar', 'train-00001.tar', 'train-00002.tar']
+    ds = ShardedTarDataset(str(tmp_path / 'train-index.json'))
+    assert len(ds) == 12
+
+
+def test_each_item_exactly_once_per_epoch(tmp_path):
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=5)
+    ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), shuffle_buffer=4,
+                           seed=3)
+    e0 = _ids(list(ds))
+    assert sorted(e0) == list(range(12))
+    e1 = _ids(list(ds))           # epoch advanced internally
+    assert sorted(e1) == list(range(12))
+    assert e0 != e1               # reshuffled across epochs
+    # determinism: a fresh instance at the same seed replays epoch 0
+    ds2 = ShardedTarDataset(str(tmp_path / 'train-*.tar'), shuffle_buffer=4,
+                            seed=3)
+    assert _ids(list(ds2)) == e0
+
+
+def test_captions_roundtrip(tmp_path):
+    src = _corpus(tmp_path, n=4)
+    write_shards(src, str(tmp_path / 'cap'), shard_size=2,
+                 captions=lambda name: f'caption for {name}')
+    ds = ShardedTarDataset(str(tmp_path / 'cap-*.tar'), seed=0)
+    items = list(ds)
+    assert all(isinstance(it, tuple) for it in items)
+    caps = {int(np.asarray(img)[0, 0, 0]): cap for img, cap in items}
+    assert caps[2] == 'caption for item_002.png'
+
+
+def test_rank_sharding_partitions(tmp_path):
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=4)  # 3 shards
+    seen = []
+    for rank in range(3):
+        ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), rank=rank,
+                               world_size=3, seed=1)
+        ids = _ids(list(ds))
+        assert len(ids) == 4      # one shard each
+        seen.extend(ids)
+    assert sorted(seen) == list(range(12))  # disjoint, complete
+    with pytest.raises(ValueError):
+        ShardedTarDataset(str(tmp_path / 'train-*.tar'), rank=5, world_size=3)
+
+
+def test_shard_granular_resume(tmp_path):
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=4)
+    ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
+    full = _ids(list(ds))
+    # resume epoch 0 from shard 1: yields exactly the last two shards
+    ds2 = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
+    ds2.set_epoch(0, start_shard=1)
+    assert _ids(list(ds2)) == full[4:]
+    # state() after a completed epoch points at the next epoch's start
+    assert ds.state() == {'epoch': 1, 'start_shard': 0}
+
+
+def test_iterable_loader_batches(tmp_path):
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=5)
+    tf = lambda pil: np.asarray(pil, np.float32) / 127.5 - 1.0
+    ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), transform=tf)
+    dl = IterableDataLoader(ds, batch_size=5, drop_last=True)
+    assert len(dl) == 2
+    batches = list(dl)           # collate: (imgs (B,H,W,C), captions|None)
+    assert len(batches) == 2 and batches[0][0].shape == (5, 8, 8, 3)
+    dl2 = IterableDataLoader(ds, batch_size=5, drop_last=False)
+    assert len(dl2) == 3 and [len(b[0]) for b in dl2] == [5, 5, 2]
+
+
+def test_trainer_trains_from_tar_shards(tmp_path):
+    """End-to-end: VQGANTrainer consumes the streaming loader through its
+    external-loader hook."""
+    from paintmind_tpu.models.vqmodel import VQModel
+    from paintmind_tpu.utils.trainer import VQGANTrainer
+    from test_training import SMALL_VQ, DCFG
+
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                        'RGB').save(d / f'{i:02d}.png')
+    write_shards(str(d), str(tmp_path / 'train'), shard_size=8)
+    tf = lambda pil: np.asarray(pil, np.float32) / 127.5 - 1.0
+    train = IterableDataLoader(
+        ShardedTarDataset(str(tmp_path / 'train-*.tar'), transform=tf,
+                          shuffle_buffer=8), batch_size=8)
+    valid = IterableDataLoader(
+        ShardedTarDataset(str(tmp_path / 'train-00002.tar'), transform=tf),
+        batch_size=8)
+    trainer = VQGANTrainer(
+        VQModel(SMALL_VQ, seed=0), dataset=None, num_epoch=1, batch_size=8,
+        num_workers=1, mixed_precision='no', save_every=100,
+        sample_every=100, perceptual_weights='none', disc_config=DCFG,
+        result_folder=str(tmp_path / 'r'), log_dir=str(tmp_path / 'log'),
+        train_loader=train, valid_loader=valid)
+    trainer.train()
+    assert trainer.steps == 3     # 24 imgs / batch 8
+    assert np.isfinite(trainer.log['rec loss'])
