@@ -131,6 +131,18 @@ pipeline_v1_imgvar_config = {
     't5': 'clip-img-l',
 }
 
+# Extension beyond the reference: an expert-parallel MoE stage-2 variant
+# (models/moe_transformer.py) — paintmindv1 dims with every block's SwiGLU
+# replaced by an 8-expert top-2 routed pool; experts shard over the mesh
+# 'model' axis.  Capacity grows ~4× (8 experts × 2/3-scaled hidden, 2
+# active) at roughly constant per-token FLOPs.
+pipeline_v1_moe_config = {
+    **pipeline_v1_config,
+    'num_experts': 8,
+    'num_selected': 2,
+    'capacity_factor': 1.25,
+}
+
 ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
     'vit-s-vqgan-512': vit_s_vqgan_512_config,
@@ -138,6 +150,7 @@ ver2cfg = {
     'paintmindv1-512': pipeline_v1_512_config,
     'paintmindv1-clip': pipeline_v1_clip_config,
     'paintmindv1-imgvar': pipeline_v1_imgvar_config,
+    'paintmindv1-moe': pipeline_v1_moe_config,
 }
 
 

@@ -1,0 +1,208 @@
+"""Mixture-of-Experts SwiGLU with expert parallelism (EP).
+
+The reference has no MoE (SURVEY §2.2 marks EP absent); this is a
+TPU-native extension model family: the stage-2 transformer's SwiGLU FFN
+replaced by a routed expert pool, experts sharded over the mesh 'model'
+axis so each device holds ``num_experts / ep`` experts and XLA inserts the
+dispatch/combine collectives (all-to-all over ICI) from the sharding
+annotations alone — no hand-written comms, per the framework's rule.
+
+Routing is GShard/Switch-style with **static shapes** (XLA requirement):
+top-k gating, per-expert capacity ``C = ceil(T·k/E · capacity_factor)``,
+tokens beyond capacity dropped (their FFN contribution is zero; the
+block's residual connection carries them through).  Dispatch/combine are
+dense one-hot einsums — exact, MXU-friendly at these scales, and the form
+XLA partitions best.  The auxiliary load-balance loss is the Switch
+formulation ``E · Σ_e f_e · p_e`` (=1 at perfect balance), returned to the
+caller for weighting into the train loss.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .core import init_linear, linear
+from .mlp import init_swiglu, swiglu
+
+
+def init_moe_swiglu(key, dim, mlp_dim, num_experts, *, out_dim=None,
+                    param_dtype=jnp.float32):
+    """Router + E stacked experts (leading ``num_experts`` axis on every
+    expert leaf — the EP sharding axis)."""
+    k_r, k_e = jax.random.split(key)
+    init_one = functools.partial(init_swiglu, dim=dim, mlp_dim=mlp_dim,
+                                 out_dim=out_dim, param_dtype=param_dtype)
+    return {
+        'router': init_linear(k_r, dim, num_experts, bias=False,
+                              param_dtype=param_dtype),
+        'experts': jax.vmap(lambda k: init_one(k))(
+            jax.random.split(k_e, num_experts)),
+    }
+
+
+def is_moe(p) -> bool:
+    return isinstance(p, dict) and 'router' in p and 'experts' in p
+
+
+def num_experts(p) -> int:
+    return jax.tree_util.tree_leaves(p['experts'])[0].shape[0]
+
+
+def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25):
+    """x: (..., D) → (y, aux).
+
+    y: (..., D_out) — the combined expert outputs (zero rows for dropped
+    tokens; callers add the residual around this as usual).
+    aux: {'lb_loss': scalar, 'router_z': scalar, 'dropped': scalar fraction
+    of (token, slot) assignments beyond capacity}.
+    """
+    e = num_experts(p)
+    k = min(num_selected, e)
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    xt = x.reshape(-1, d)
+    t = xt.shape[0]
+
+    # --- gate (router math in fp32 regardless of activation dtype) -------
+    logits = linear(p['router'], xt.astype(jnp.float32))        # (T, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate, idx = jax.lax.top_k(probs, k)                         # (T, k)
+    gate = gate / jnp.maximum(gate.sum(-1, keepdims=True), 1e-9)
+
+    # --- capacity assignment (slot-major: every token's 1st choice is
+    # queued before any token's 2nd choice, the GShard priority rule) ----
+    cap = max(1, int(t * k / e * capacity_factor + 0.999))
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)          # (T, k, E)
+    flat = onehot.transpose(1, 0, 2).reshape(k * t, e)          # (k·T, E)
+    pos_f = jnp.cumsum(flat, axis=0) - flat
+    pos = (pos_f * flat).sum(-1).reshape(k, t).transpose()
+    pos = pos.astype(jnp.int32)                                 # (T, k)
+    keep = (pos < cap) & (gate > 0)
+
+    # dispatch: (T, E, C) one-hot over (expert, queue position)
+    pos_oh = jax.nn.one_hot(pos, cap, dtype=x.dtype)            # (T, k, C)
+    disp = jnp.einsum('tke,tkc->tec', onehot.astype(x.dtype) *
+                      keep[..., None].astype(x.dtype), pos_oh)
+    comb = jnp.einsum('tke,tkc->tec',
+                      (gate.astype(x.dtype) * keep.astype(x.dtype))[..., None]
+                      * onehot.astype(x.dtype), pos_oh)
+
+    expert_in = jnp.einsum('tec,td->ecd', disp, xt)             # (E, C, D)
+    expert_out = jax.vmap(swiglu)(p['experts'], expert_in)      # (E, C, Do)
+    y = jnp.einsum('tec,ecd->td', comb, expert_out)             # (T, Do)
+
+    # --- aux losses (Switch lb loss uses top-1 dispatch fractions) -------
+    top1 = jax.nn.one_hot(idx[:, 0], e, dtype=jnp.float32)
+    frac_tokens = top1.mean(0)                                  # f_e
+    mean_probs = probs.mean(0)                                  # p_e
+    aux = {
+        'lb_loss': e * jnp.sum(frac_tokens * mean_probs),
+        'router_z': jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2),
+        'dropped': 1.0 - keep.astype(jnp.float32).mean(),
+    }
+    return y.reshape(lead + y.shape[-1:]), aux
+
+
+# ---------------------------------------------------------------------------
+# MoE transformer blocks (stage-2 layer shape with the FFN routed)
+# ---------------------------------------------------------------------------
+
+def init_moe_block(key, dim, *, dim_head, mlp_dim, num_head, num_experts,
+                   cross=True, context_dim=None, param_dtype=jnp.float32):
+    """Stage-2 block layout (nn/transformer.init_block, reference
+    stage2/transformer.py:28-49) with the SwiGLU replaced by a routed
+    expert pool."""
+    from .attention import init_attention
+    from .core import init_layernorm
+    ks = jax.random.split(key, 3)
+    p = {
+        'norm1': init_layernorm(dim, param_dtype),
+        'attn1': init_attention(ks[0], dim, heads=num_head, dim_head=dim_head,
+                                param_dtype=param_dtype),
+        'norm2': init_layernorm(dim, param_dtype),
+        'ffnet': init_moe_swiglu(ks[2], dim, mlp_dim, num_experts,
+                                 param_dtype=param_dtype),
+    }
+    if cross:
+        p['attn2'] = init_attention(ks[1], dim, context_dim=context_dim,
+                                    heads=num_head, dim_head=dim_head,
+                                    param_dtype=param_dtype)
+        p['norm3'] = init_layernorm(dim, param_dtype)
+    return p
+
+
+def moe_block_apply(p, x, context=None, *, heads, num_selected=2,
+                    capacity_factor=1.25, dropout_rate=0.0, key=None,
+                    deterministic=True, backend=None):
+    from .attention import attention
+    from .core import layernorm
+    has_cross = 'attn2' in p
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    x = x + attention(p['attn1'], layernorm(p['norm1'], x), heads=heads,
+                      dropout_rate=dropout_rate, key=k1,
+                      deterministic=deterministic, backend=backend)
+    if has_cross:
+        x = x + attention(p['attn2'], layernorm(p['norm2'], x), context,
+                          heads=heads, dropout_rate=dropout_rate, key=k2,
+                          deterministic=deterministic, backend=backend)
+        h, aux = moe_swiglu(p['ffnet'], layernorm(p['norm3'], x),
+                            num_selected=num_selected,
+                            capacity_factor=capacity_factor)
+    else:
+        h, aux = moe_swiglu(p['ffnet'], layernorm(p['norm2'], x),
+                            num_selected=num_selected,
+                            capacity_factor=capacity_factor)
+    return x + h, aux
+
+
+def init_moe_stack(key, depth, dim, *, dim_head, mlp_dim, num_head,
+                   num_experts, cross=True, context_dim=None,
+                   param_dtype=jnp.float32):
+    """Depth-stacked MoE blocks; expert leaves are (depth, E, ...) — axis 0
+    scans, axis 1 is the EP sharding axis."""
+    init_one = functools.partial(init_moe_block, dim=dim, dim_head=dim_head,
+                                 mlp_dim=mlp_dim, num_head=num_head,
+                                 num_experts=num_experts, cross=cross,
+                                 context_dim=context_dim,
+                                 param_dtype=param_dtype)
+    return jax.vmap(init_one)(jax.random.split(key, depth))
+
+
+def moe_stack_apply(p, x, context=None, *, heads, num_selected=2,
+                    capacity_factor=1.25, dropout_rate=0.0, key=None,
+                    deterministic=True, backend=None, remat=False,
+                    act_sharding=None):
+    """Scanned MoE stack.  Returns (x, aux) with aux scalars averaged over
+    depth (so loss weights are depth-independent)."""
+    depth = jax.tree_util.tree_leaves(p)[0].shape[0]
+    keys = jax.random.split(key, depth) if key is not None else None
+
+    def body(carry, layer):
+        h, acc = carry
+        if keys is None:
+            layer_p, layer_key = layer, None
+        else:
+            layer_p, layer_key = layer
+        h, aux = moe_block_apply(layer_p, h, context, heads=heads,
+                                 num_selected=num_selected,
+                                 capacity_factor=capacity_factor,
+                                 dropout_rate=dropout_rate, key=layer_key,
+                                 deterministic=deterministic, backend=backend)
+        if act_sharding is not None:
+            h = jax.lax.with_sharding_constraint(h, act_sharding)
+        acc = jax.tree_util.tree_map(jnp.add, acc, aux)
+        return (h, acc), None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    zero = {'lb_loss': jnp.zeros((), jnp.float32),
+            'router_z': jnp.zeros((), jnp.float32),
+            'dropped': jnp.zeros((), jnp.float32)}
+    xs = p if keys is None else (p, keys)
+    (x, acc), _ = jax.lax.scan(body, (x, zero), xs)
+    return x, jax.tree_util.tree_map(lambda a: a / depth, acc)

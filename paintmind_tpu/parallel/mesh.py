@@ -155,6 +155,26 @@ def cond_transformer_param_spec(params):
     return _align_quantized(spec, params)
 
 
+def moe_cond_transformer_param_spec(params):
+    """PartitionSpec tree for the MoE stage-2 variant
+    (models/moe_transformer.py): attention stays megatron tensor-parallel
+    on 'model'; each block's expert pool shards its expert axis (leaf
+    shape (depth, E, ...)) over the SAME 'model' axis — expert parallelism.
+    The router is replicated (it is dim×E — tiny).  XLA derives the
+    dispatch/combine all-to-alls from these annotations alone."""
+    spec = _replicated_like(params)
+    block = _stack_block_spec(cross=True)
+    block['ffnet'] = {
+        'router': {'kernel': P()},
+        'experts': jax.tree_util.tree_map(
+            lambda x: P(None, MODEL_AXIS, *([None] * (np.ndim(x) - 2))),
+            params['layers']['ffnet']['experts']),
+    }
+    spec['layers'] = block
+    spec['to_logits'] = {'kernel': P(None, MODEL_AXIS), 'bias': P(MODEL_AXIS)}
+    return spec
+
+
 def pipeline_param_spec(params):
     """PartitionSpec tree for Pipeline params (models/pipeline layout)."""
     return {

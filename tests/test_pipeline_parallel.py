@@ -1,0 +1,138 @@
+"""Pipeline parallelism (parallel/pipeline_parallel.py) on the virtual
+8-device CPU mesh: GPipe-scheduled stacks match plain scanned execution
+exactly, compose with data parallelism, and are differentiable (the
+backward pipeline emerges from grad-through-ppermute)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from paintmind_tpu.models import transformer as st2
+from paintmind_tpu.nn.transformer import init_stack, stack_apply
+from paintmind_tpu.parallel import mesh as pmesh
+from paintmind_tpu.parallel import pipeline_parallel as pp
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason='needs 8 virtual devices')
+
+DIM, HEADS, DIM_HEAD, MLP = 32, 2, 16, 64
+
+
+def _mae(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def _stack(depth, cross, seed=0):
+    return init_stack(jax.random.PRNGKey(seed), depth, DIM, dim_head=DIM_HEAD,
+                      mlp_dim=MLP, num_head=HEADS, cross=cross,
+                      context_dim=DIM if cross else None)
+
+
+@needs_8
+@pytest.mark.parametrize('model_parallel,microbatches', [(4, 2), (4, 4),
+                                                         (2, 1), (8, 2)])
+def test_pp_stack_matches_scanned(rng, model_parallel, microbatches):
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=model_parallel)
+    depth = 2 * model_parallel
+    p = _stack(depth, cross=True)
+    dp = 8 // model_parallel
+    b = dp * microbatches * 2
+    x = jnp.asarray(rng.standard_normal((b, 16, DIM)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, 5, DIM)).astype(np.float32))
+
+    ref = stack_apply(p, x, ctx, heads=HEADS, backend='xla')
+    out = pp.pp_stack_apply(p, x, ctx, mesh=mesh, microbatches=microbatches,
+                            heads=HEADS, backend='xla')
+    assert out.shape == ref.shape
+    assert _mae(out, ref) < 1e-5
+
+
+@needs_8
+def test_pp_stack_no_context(rng):
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    p = _stack(4, cross=False)
+    x = jnp.asarray(rng.standard_normal((8, 16, DIM)).astype(np.float32))
+    ref = stack_apply(p, x, heads=HEADS, backend='xla')
+    out = pp.pp_stack_apply(p, x, mesh=mesh, microbatches=2, heads=HEADS,
+                            backend='xla')
+    assert _mae(out, ref) < 1e-5
+
+
+@needs_8
+def test_pp_under_jit_with_sharded_params(rng):
+    """The production form: params placed by pp_stack_spec, whole thing
+    jitted; stage slices stay resident on their owning devices."""
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    p = _stack(8, cross=True)
+    spec = pp.pp_stack_spec(p)
+    p_sh = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), p, spec)
+    x = jnp.asarray(rng.standard_normal((8, 16, DIM)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((8, 5, DIM)).astype(np.float32))
+
+    ref = stack_apply(p, x, ctx, heads=HEADS, backend='xla')
+    fn = jax.jit(lambda pp_, xx, cc: pp.pp_stack_apply(
+        pp_, xx, cc, mesh=mesh, microbatches=4, heads=HEADS, backend='xla'))
+    out = fn(p_sh, jax.device_put(x, NamedSharding(mesh, P('data'))),
+             jax.device_put(ctx, NamedSharding(mesh, P('data'))))
+    assert _mae(out, ref) < 1e-5
+
+
+@needs_8
+def test_pp_cond_transformer_matches_reference_apply(rng):
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    cfg = st2.CondTransformerConfig(in_dim=8, dim=DIM, len_seq=16,
+                                    dim_head=DIM_HEAD, mlp_dim=MLP,
+                                    num_head=HEADS, depth=4, dropout=0.0,
+                                    context_dim=24, num_classes=64)
+    params = st2.init_cond_transformer(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.standard_normal((4, 16, 8)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((4, 5, 24)).astype(np.float32))
+
+    ref = st2.cond_transformer_apply(params, x, ctx, cfg=cfg, backend='xla')
+    p_sh = pp.shard_for_pp(params, mesh)
+    out = pp.pp_cond_transformer_apply(p_sh, x, ctx, cfg=cfg, mesh=mesh,
+                                       microbatches=2, backend='xla')
+    assert _mae(out, ref) < 1e-4
+
+
+@needs_8
+def test_pp_backward_matches_scanned_grads(rng):
+    """grad through the pipeline (ppermute transpose = reverse schedule)
+    equals grad through the plain scanned stack."""
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    p = _stack(4, cross=True)
+    x = jnp.asarray(rng.standard_normal((4, 16, DIM)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((4, 5, DIM)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((4, 16, DIM)).astype(np.float32))
+
+    def loss_ref(p_):
+        out = stack_apply(p_, x, ctx, heads=HEADS, backend='xla')
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_pp(p_):
+        out = pp.pp_stack_apply(p_, x, ctx, mesh=mesh, microbatches=2,
+                                heads=HEADS, backend='xla')
+        return jnp.mean((out - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref)(p)
+    g_pp = jax.grad(loss_pp)(p)
+    errs = jax.tree_util.tree_map(_mae, g_ref, g_pp)
+    worst = max(jax.tree_util.tree_leaves(errs))
+    assert worst < 1e-5, worst
+
+
+@needs_8
+def test_pp_validates_shapes():
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    p = _stack(6, cross=False)  # 6 layers over 4 stages: invalid
+    x = jnp.zeros((4, 16, DIM))
+    with pytest.raises(ValueError, match='depth'):
+        pp.pp_stack_apply(p, x, mesh=mesh, microbatches=2, heads=HEADS)
+    p = _stack(4, cross=False)
+    with pytest.raises(ValueError, match='batch'):
+        pp.pp_stack_apply(p, jnp.zeros((3, 16, DIM)), mesh=mesh,
+                          microbatches=2, heads=HEADS)
