@@ -11,7 +11,14 @@ import os
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags += ' --xla_force_host_platform_device_count=8'
+# 8 virtual devices share one core here; a straggler can take >40 s to
+# reach a collective rendezvous and XLA's default terminate-timeout would
+# abort pytest mid-collective on a loaded box.
+if 'terminate_timeout' not in flags:
+    flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=120'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=600')
+os.environ['XLA_FLAGS'] = flags.strip()
 
 import jax  # noqa: E402
 
