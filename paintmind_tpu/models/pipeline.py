@@ -71,6 +71,13 @@ class PipelineConfig:
     vqc: vm.VQModelConfig = vm.VQModelConfig()
     t5_dim: int = 1024
     normalize_sample_tokens: bool = False
+    # MoE variant (``paintmindv1-moe``, config.py): num_experts=0 means the
+    # dense CondTransformer; >0 routes every block's SwiGLU over an
+    # expert pool (models/moe_transformer.py) — same masking/sampling
+    # semantics, experts shard over the mesh 'model' axis.
+    num_experts: int = 0
+    num_selected: int = 2
+    capacity_factor: float = 1.25
 
     @classmethod
     def from_dict(cls, d):
@@ -82,7 +89,10 @@ class PipelineConfig:
                    num_head=d['num_head'], depth=d['depth'],
                    dropout=d['dropout'], vqc=vqc, t5_dim=t5_dim,
                    normalize_sample_tokens=d.get('normalize_sample_tokens',
-                                                 False))
+                                                 False),
+                   num_experts=d.get('num_experts', 0),
+                   num_selected=d.get('num_selected', 2),
+                   capacity_factor=d.get('capacity_factor', 1.25))
 
     @property
     def image_size(self):
@@ -102,11 +112,17 @@ class PipelineConfig:
 
     @property
     def tcfg(self) -> CondTransformerConfig:
-        return CondTransformerConfig(
+        kw = dict(
             in_dim=self.vqc.embed_dim, dim=self.dim, len_seq=self.num_tokens,
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             num_head=self.num_head, depth=self.depth, dropout=self.dropout,
             context_dim=self.t5_dim, num_classes=self.vqc.n_embed)
+        if self.num_experts:
+            from .moe_transformer import MoECondTransformerConfig
+            return MoECondTransformerConfig(
+                num_experts=self.num_experts, num_selected=self.num_selected,
+                capacity_factor=self.capacity_factor, **kw)
+        return CondTransformerConfig(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -118,9 +134,14 @@ def init_pipeline(key, cfg: PipelineConfig, param_dtype=jnp.float32,
     k_vq, k_tr, k_mask = jax.random.split(key, 3)
     if vqgan_params is None:
         vqgan_params = vm.init_vqmodel(k_vq, cfg.vqc, param_dtype)
+    if cfg.num_experts:
+        from .moe_transformer import init_moe_cond_transformer
+        transformer = init_moe_cond_transformer(k_tr, cfg.tcfg, param_dtype)
+    else:
+        transformer = init_cond_transformer(k_tr, cfg.tcfg, param_dtype)
     return {
         'vqgan': vqgan_params,
-        'transformer': init_cond_transformer(k_tr, cfg.tcfg, param_dtype),
+        'transformer': transformer,
         # (reference generate.py:70-73): zeros + normal(std=.02)
         'mask_token': jax.random.normal(k_mask, (1, cfg.vqc.embed_dim),
                                         param_dtype) * 0.02,
@@ -166,6 +187,18 @@ def pipeline_loss(params, img, context, mask_ratio, key, *,
                             remat=remat)
     z_q = jax.lax.stop_gradient(z_q)
     x, mask = random_masking(k_mask, z_q, params['mask_token'], mask_ratio)
+    if cfg.num_experts:
+        # MoE variant: same masked-CE objective plus the weighted routing
+        # losses (Switch load-balance + router z-loss) so the router trains.
+        from .moe_transformer import moe_cond_transformer_apply
+        tcfg = cfg.tcfg
+        logits, aux = moe_cond_transformer_apply(
+            params['transformer'], x, context, cfg=tcfg,
+            key=None if deterministic else k_drop,
+            deterministic=deterministic, backend=backend, remat=remat)
+        return (masked_ce_loss(logits, ids, mask)
+                + tcfg.lb_weight * aux['lb_loss']
+                + tcfg.zloss_weight * aux['router_z'])
     logits = cond_transformer_apply(
         params['transformer'], x, context, cfg=cfg.tcfg,
         key=None if deterministic else k_drop,
@@ -214,6 +247,27 @@ def _transformer_logits(params, tokens, context, guidance_scale, *, cfg,
         context = context.astype(dtype) if context is not None else None
         neg_context = (neg_context.astype(dtype)
                        if neg_context is not None else None)
+    if cfg.num_experts:
+        # MoE sampler path: routing aux is inference-irrelevant; guidance
+        # mixes LOGITS (reference generate.py:64-68 semantics) with two
+        # passes — the dense path's fused-halves / hidden-mix tricks assume
+        # token-independent per-position compute, which expert capacity
+        # limits break (a doubled batch changes routing pressure).
+        from .moe_transformer import moe_cond_transformer_apply
+
+        def moe_logits(ctx):
+            return moe_cond_transformer_apply(
+                params['transformer'], tokens, ctx, cfg=cfg.tcfg,
+                backend=backend, act_sharding=act_sharding)[0]
+
+        if guidance_scale is None or context is None:
+            return moe_logits(context)
+        guidance_scale = jnp.asarray(guidance_scale, tokens.dtype)
+        if guidance_scale.ndim == 1:
+            guidance_scale = guidance_scale[:, None, None]
+        cond = moe_logits(context)
+        uncond = moe_logits(neg_context)  # None → self-attending uncond pass
+        return uncond + guidance_scale * (cond - uncond)
     # The sampler fully unrolls the layer-stack scan: per-layer dynamic
     # slicing of the stacked weights costs ~3.8% of the 16-step program on
     # v5e (measured: 13.77 → 14.29 img/s at batch 64); training keeps the
@@ -569,6 +623,11 @@ class Pipeline:
         return z, ids, self.embed_text(text)
 
     def tokens2logits(self, tokens, context=None):
+        if self.config.num_experts:
+            from .moe_transformer import moe_cond_transformer_apply
+            return moe_cond_transformer_apply(
+                self.params['transformer'], jnp.asarray(tokens), context,
+                cfg=self.config.tcfg)[0]
         return cond_transformer_apply(self.params['transformer'],
                                       jnp.asarray(tokens), context,
                                       cfg=self.config.tcfg)
@@ -726,6 +785,12 @@ class Pipeline:
         VQGAN (conv decoder, quality-critical) stays in fp.
         """
         from ..nn import quant
+        if self.config.num_experts:
+            raise NotImplementedError(
+                'int8 quantization of the MoE variant is not supported: '
+                'expert leaves are (depth, E, in, out) stacks the per-linear '
+                'quantizer does not cover, and partially-quantized blocks '
+                'would silently skew routing-vs-expert numerics')
         if getattr(self, '_quantized', None):
             raise RuntimeError(
                 f'already quantized ({self._quantized!r}) — quantization '

@@ -176,10 +176,16 @@ def moe_cond_transformer_param_spec(params):
 
 
 def pipeline_param_spec(params):
-    """PartitionSpec tree for Pipeline params (models/pipeline layout)."""
+    """PartitionSpec tree for Pipeline params (models/pipeline layout).
+    Detects the MoE transformer layout (routed 'ffnet' subtree) and uses
+    the expert-parallel spec for it."""
+    tp = params['transformer']
+    is_moe = 'router' in tp.get('layers', {}).get('ffnet', {})
+    tr_spec = (moe_cond_transformer_param_spec(tp) if is_moe
+               else cond_transformer_param_spec(tp))
     return {
         'vqgan': vqgan_param_spec(params['vqgan']),
-        'transformer': cond_transformer_param_spec(params['transformer']),
+        'transformer': tr_spec,
         'mask_token': P(),
     }
 
