@@ -454,3 +454,28 @@ def test_cancelled_requests_do_not_wedge_the_engine(pipe):
         # dispatcher must still be alive after handling the cancellation
         fc = eng.submit(GenerateRequest(timesteps=2, topk=2, seed=2))
         assert fc.result(timeout=120).shape == (32, 32, 3)
+
+
+def test_engine_serves_moe_pipeline():
+    """The engine is routing-agnostic: an MoE pipeline (first-class
+    version dispatch, models/pipeline.py) serves generate + reconstruct
+    through the same batching path."""
+    moe_cfg = pl.PipelineConfig(
+        stage1='test-vqgan-serve', t5='t5-l', dim=32, dim_head=16,
+        mlp_dim=64, num_head=2, depth=1, dropout=0.0,
+        vqc=pl.vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=48,
+        num_experts=4, num_selected=2, capacity_factor=2.0)
+    moe_pipe = pl.Pipeline(config=moe_cfg, stage1_pretrained=False,
+                           text_encoder=None)
+    assert 'router' in moe_pipe.params['transformer']['layers']['ffnet']
+    with GenerationEngine(moe_pipe, max_batch=8, max_wait_ms=200) as eng:
+        futs = [eng.submit(GenerateRequest(timesteps=2, topk=2, seed=i))
+                for i in range(3)]
+        img = np.zeros((32, 32, 3), np.float32)
+        fr = eng.submit(ReconstructRequest(image=img))
+        outs = [f.result(timeout=180) for f in futs]
+        rec = fr.result(timeout=180)
+    for out in outs:
+        assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+    assert rec.shape == (32, 32, 3) and np.isfinite(rec).all()
+    assert eng.stats()['batches'] <= 3  # generates coalesced
