@@ -295,3 +295,33 @@ def test_moe_pipeline_ep_sampler_matches_replicated(moe_pipe_params, rng):
         jax.device_put(init_ids, NamedSharding(mesh, P('data'))), None,
         cfg=MOE_PIPE, timesteps=2, topk=4, sampler='exact')
     assert int(jnp.sum(traj_sh[-1] == MOE_PIPE.mask_token_id)) == 0
+
+
+def test_moe_pipeline_checkpoint_roundtrip(tmp_path, moe_pipe_params):
+    """save_pretrained/from_pretrained round-trip the MoE tree bit-exactly
+    (template-driven loaders must handle the 4-D (depth, E, in, out)
+    expert leaves)."""
+    from paintmind_tpu.models.pipeline import Pipeline
+    pipe = Pipeline(config=MOE_PIPE, stage1_pretrained=False,
+                    text_encoder=None, params=moe_pipe_params)
+    path = str(tmp_path / 'moe_pipe.npz')
+    pipe.save_pretrained(path)
+    other = Pipeline(config=MOE_PIPE, stage1_pretrained=False,
+                     text_encoder=None, seed=99)
+    before = np.asarray(
+        other.params['transformer']['layers']['ffnet']['experts']['w12']
+        if isinstance(other.params['transformer']['layers']['ffnet']
+                      ['experts'], dict)
+        else jax.tree_util.tree_leaves(
+            other.params['transformer']['layers']['ffnet']['experts'])[0])
+    other.from_pretrained(path)
+    ref_leaves = jax.tree_util.tree_leaves(moe_pipe_params)
+    got_leaves = jax.tree_util.tree_leaves(other.params)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # sanity: the load actually changed the randomly-seeded expert weights
+    after = jax.tree_util.tree_leaves(
+        other.params['transformer']['layers']['ffnet']['experts'])[0]
+    assert not np.array_equal(np.asarray(before).ravel()[:8],
+                              np.asarray(after).ravel()[:8])
