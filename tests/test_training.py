@@ -603,3 +603,39 @@ def test_lion_matches_reference_torch_lion():
         params = params + updates  # optax convention: additive updates
     np.testing.assert_allclose(np.asarray(params), want,
                                rtol=2e-5, atol=2e-6)
+
+
+def test_paintmind_trainer_trains_moe_variant(tmp_path):
+    """The stage-2 trainer trains the MoE pipeline variant unchanged —
+    pipeline_loss folds the routing losses into the scalar objective, so
+    the reference-signature trainer needs no MoE knowledge."""
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=1,
+                         dropout=0.0, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48, num_experts=4, num_selected=2,
+                         capacity_factor=2.0)
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None)
+    assert 'router' in pipe.params['transformer']['layers']['ffnet']
+    ds = _SynthDataset(20, 32, with_caption=True)
+
+    def fake_embedder(captions):
+        return np.stack([np.random.default_rng(len(c)).standard_normal(
+            (5, 48)).astype(np.float32) for c in captions])
+
+    trainer = PaintMindTrainer(
+        pipe, ds, num_epoch=1, valid_size=4, optim_name='lion', lr=1e-3,
+        warmup_steps=1, decay_steps=10, batch_size=8, num_workers=2,
+        grad_accum_steps=1, mixed_precision='no', save_every=100,
+        sample_every=100, result_folder=str(tmp_path),
+        log_dir=str(tmp_path / 'log'), text_embedder=fake_embedder)
+    router0 = np.asarray(jax.tree_util.tree_leaves(
+        pipe.params['transformer']['layers']['ffnet']['router'])[0])
+    trainer.train()
+    assert np.isfinite(trainer.log['loss'])
+    router1 = np.asarray(jax.tree_util.tree_leaves(
+        pipe.params['transformer']['layers']['ffnet']['router'])[0])
+    assert not np.array_equal(router0, router1)  # the router trained
