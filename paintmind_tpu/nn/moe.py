@@ -102,6 +102,10 @@ def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25):
         'lb_loss': e * jnp.sum(frac_tokens * mean_probs),
         'router_z': jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2),
         'dropped': 1.0 - keep.astype(jnp.float32).mean(),
+        # per-expert top-1 load fractions (sum to 1): routing-health signal
+        # the trainer surfaces — a collapsing router shows up here long
+        # before sample quality does (VERDICT r3 #2)
+        'expert_load': frac_tokens,
     }
     return y.reshape(lead + y.shape[-1:]), aux
 
@@ -200,9 +204,11 @@ def moe_stack_apply(p, x, context=None, *, heads, num_selected=2,
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
+    e = jax.tree_util.tree_leaves(p['ffnet']['experts'])[0].shape[1]
     zero = {'lb_loss': jnp.zeros((), jnp.float32),
             'router_z': jnp.zeros((), jnp.float32),
-            'dropped': jnp.zeros((), jnp.float32)}
+            'dropped': jnp.zeros((), jnp.float32),
+            'expert_load': jnp.zeros((e,), jnp.float32)}
     xs = p if keys is None else (p, keys)
     (x, acc), _ = jax.lax.scan(body, (x, zero), xs)
     return x, jax.tree_util.tree_map(lambda a: a / depth, acc)

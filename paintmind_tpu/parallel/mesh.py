@@ -179,9 +179,11 @@ def pipeline_param_spec(params):
     """PartitionSpec tree for Pipeline params (models/pipeline layout).
     Detects the MoE transformer layout (routed 'ffnet' subtree) and uses
     the expert-parallel spec for it."""
+    from ..nn.moe import is_moe
     tp = params['transformer']
-    is_moe = 'router' in tp.get('layers', {}).get('ffnet', {})
-    tr_spec = (moe_cond_transformer_param_spec(tp) if is_moe
+    layers = tp.get('layers') if isinstance(tp, dict) else None
+    routed = is_moe(layers.get('ffnet')) if isinstance(layers, dict) else False
+    tr_spec = (moe_cond_transformer_param_spec(tp) if routed
                else cond_transformer_param_spec(tp))
     return {
         'vqgan': vqgan_param_spec(params['vqgan']),

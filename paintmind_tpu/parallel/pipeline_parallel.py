@@ -147,13 +147,26 @@ def pp_cond_transformer_param_spec(params, pipe_axis=MODEL_AXIS):
 def pp_cond_transformer_apply(p, x, context=None, *, cfg, mesh, microbatches,
                               key=None, deterministic=True, backend=None,
                               remat=False, pipe_axis=MODEL_AXIS,
-                              data_axis=DATA_AXIS):
+                              data_axis=DATA_AXIS, return_hidden=False):
     """Pipelined stage-2 forward: token_proj/pos-embed and the final
     LN/vocab head run replicated (they are a tiny fraction of the FLOPs);
     the 12-layer stack runs through the GPipe schedule.  Matches
-    ``models.transformer.cond_transformer_apply`` numerically."""
+    ``models.transformer.cond_transformer_apply`` numerically —
+    ``return_hidden`` returns the post-LN hidden state (the CFG sampler
+    mixes branch hiddens before the shared vocab head, exactly like the
+    dense path)."""
     from ..models.transformer import head_project
     from ..nn.core import layernorm, linear
+    from ..nn.moe import is_moe
+
+    layers = p.get('layers')
+    if isinstance(layers, dict) and is_moe(layers.get('ffnet')):
+        raise NotImplementedError(
+            'pipeline parallelism does not support the MoE variant: the '
+            'routed ffnet layout (expert capacity per stage) is not '
+            'partitionable by the dense GPipe schedule — use expert '
+            'parallelism (parallel.mesh.moe_cond_transformer_param_spec) '
+            'for paintmindv1-moe instead')
 
     x = linear(p['token_proj'], x)
     x = x + p['pos_embed'].astype(x.dtype)
@@ -167,6 +180,8 @@ def pp_cond_transformer_apply(p, x, context=None, *, cfg, mesh, microbatches,
                        deterministic=deterministic, backend=backend,
                        remat=remat, pipe_axis=pipe_axis, data_axis=data_axis)
     x = layernorm(p['norm'], x)
+    if return_hidden:
+        return x
     return head_project(p, x)
 
 

@@ -109,9 +109,16 @@ class GenerationEngine:
     """
 
     def __init__(self, pipeline, *, max_batch=16, max_wait_ms=20.0,
-                 latency_window=512, max_queue=None):
+                 latency_window=512, max_queue=None, mesh=None,
+                 sequence_parallel=False):
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # bucket programs survive restarts
+        if mesh is not None:
+            # serve sharded (VERDICT r3 #5): TP/EP param placement via
+            # Pipeline.shard — the engine's batching/bucketing is layout-
+            # agnostic, decode programs compile against the sharded params.
+            # ``sequence_parallel`` adds the 512²-variant activation layout.
+            pipeline.shard(mesh, sequence_parallel=sequence_parallel)
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0

@@ -374,11 +374,20 @@ def init_pipeline_train_state(key, params, tx, ema_decay=None):
 
 def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
                              compute_dtype=None, backend=None, remat=False,
-                             ema_decay=None):
+                             ema_decay=None, transformer_apply=None):
     """Returns jittable ``step(state, imgs, context, mask_ratio)``.
     ``context`` is (B, M, t5_dim) or None — the trainer picks None for the
     whole batch with p=0.1 (CFG dropout, reference trainer.py:387-388);
-    ``mask_ratio`` is the per-batch arccos draw (trainer.py:286-288)."""
+    ``mask_ratio`` is the per-batch arccos draw (trainer.py:286-288).
+
+    Metrics always carry ``loss``; the MoE variant additionally surfaces
+    the routing-health aux (``lb loss``/``router z``/``dropped`` scalars +
+    the (E,) ``expert load`` fractions), averaged over microbatches —
+    training-time visibility into router collapse / capacity overflow
+    (VERDICT r3 #2).
+
+    ``transformer_apply``: stage-2 stack forward override (dense variant) —
+    the pipeline-parallel trainer route passes the GPipe apply here."""
 
     def loss_fn(params, img, context, mask_ratio, key):
         return pl.pipeline_loss(params, _cast(img, compute_dtype),
@@ -386,7 +395,8 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
                                 not None else None,
                                 mask_ratio, key, cfg=cfg,
                                 deterministic=False, backend=backend,
-                                remat=remat)
+                                remat=remat, return_aux=True,
+                                transformer_apply=transformer_apply)
 
     def step(state, imgs, context, mask_ratio):
         b = imgs.shape[0]
@@ -400,21 +410,32 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
         key, k_step = jax.random.split(state['key'])
         keys = jax.random.split(k_step, grad_accum)
 
+        # aux-metric accumulator structure depends only on the config
+        if cfg.num_experts:
+            zero_aux = {'lb loss': jnp.zeros((), jnp.float32),
+                        'router z': jnp.zeros((), jnp.float32),
+                        'dropped': jnp.zeros((), jnp.float32),
+                        'expert load': jnp.zeros((cfg.num_experts,),
+                                                 jnp.float32)}
+        else:
+            zero_aux = {}
+
         def micro_step(carry, xs):
-            grads_acc, loss_acc = carry
+            grads_acc, loss_acc, aux_acc = carry
             if context is None:
                 img, k = xs
                 ctx = None
             else:
                 img, ctx, k = xs
-            loss, grads = jax.value_and_grad(loss_fn)(
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state['params'], img, ctx, mask_ratio, k)
-            return (_tree_add(grads_acc, grads), loss_acc + loss), None
+            return (_tree_add(grads_acc, grads), loss_acc + loss,
+                    _tree_add(aux_acc, aux)), None
 
         xs = (imgs, keys) if context is None else (imgs, context, keys)
-        (grads, loss_sum), _ = jax.lax.scan(
+        (grads, loss_sum, aux_sum), _ = jax.lax.scan(
             micro_step, (_tree_zeros_like(state['params']),
-                         jnp.asarray(0.0)), xs)
+                         jnp.asarray(0.0), zero_aux), xs)
         grads = _tree_scale(grads, 1.0 / grad_accum)
         updates, opt = tx.update(grads, state['opt'], state['params'])
         params = optax.apply_updates(state['params'], updates)
@@ -427,6 +448,8 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
                 'mask_token': _ema_update(state['ema']['mask_token'],
                                           params['mask_token'], ema_decay),
             }
-        return new_state, {'loss': loss_sum / grad_accum}
+        metrics = {'loss': loss_sum / grad_accum,
+                   **_tree_scale(aux_sum, 1.0 / grad_accum)}
+        return new_state, metrics
 
     return step

@@ -31,6 +31,9 @@ class Log:
     def __getitem__(self, name):
         return self.data[name]
 
+    def __contains__(self, name):
+        return name in self.data
+
 
 class MetricWriter:
     """Tensorboard writer on host 0 (torch.utils.tensorboard, which the

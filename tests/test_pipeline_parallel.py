@@ -136,3 +136,137 @@ def test_pp_validates_shapes():
     with pytest.raises(ValueError, match='batch'):
         pp.pp_stack_apply(p, jnp.zeros((3, 16, DIM)), mesh=mesh,
                           microbatches=2, heads=HEADS)
+
+
+# ---------------------------------------------------------------------------
+# First-class harness integration (VERDICT r3 #1): PP through the public
+# PaintMindTrainer and Pipeline.generate APIs.
+# ---------------------------------------------------------------------------
+
+def _pp_pipeline_cfg(depth=4, dropout=0.0):
+    from paintmind_tpu.models.pipeline import PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from test_training import SMALL_VQ
+    return PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=DIM,
+                          dim_head=DIM_HEAD, mlp_dim=MLP, num_head=HEADS,
+                          depth=depth, dropout=dropout,
+                          vqc=vm.VQModelConfig.from_dict(SMALL_VQ), t5_dim=48)
+
+
+@needs_8
+def test_pp_trainer_matches_dp_trainer(tmp_path):
+    """PaintMindTrainer(pp_microbatches=2) on a (data=2, model=4) mesh
+    produces the same losses and final params as the plain dp-only trainer
+    — the GPipe schedule is an execution strategy, not a different
+    optimization."""
+    from paintmind_tpu.models.pipeline import Pipeline
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+    from test_training import _SynthDataset
+
+    cfg = _pp_pipeline_cfg(depth=4, dropout=0.0)
+    ds = _SynthDataset(40, 32, with_caption=False)
+
+    def run(pp, folder):
+        np.random.seed(123)          # masked_p_generator draws
+        pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None,
+                        seed=3)
+        mesh = (pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+                if pp else None)
+        tr = PaintMindTrainer(
+            pipe, ds, num_epoch=1, valid_size=4, optim_name='lion', lr=1e-3,
+            warmup_steps=1, decay_steps=10, batch_size=8, num_workers=0,
+            grad_accum_steps=1, mixed_precision='no', save_every=1000,
+            sample_every=1000, result_folder=folder,
+            log_dir=str(tmp_path / 'log'), seed=5, cfg_p=0.0, mesh=mesh,
+            pp_microbatches=2 if pp else None)
+        tr.train()
+        return tr, pipe
+
+    tr_ref, pipe_ref = run(False, str(tmp_path / 'dense'))
+    tr_pp, pipe_pp = run(True, str(tmp_path / 'pp'))
+    assert tr_pp.steps == tr_ref.steps > 0
+    assert abs(tr_pp.log['loss'] - tr_ref.log['loss']) < 1e-4
+    errs = [
+        _mae(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                np.asarray, pipe_ref.params['transformer'])),
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                np.asarray, pipe_pp.params['transformer'])))]
+    assert max(errs) < 1e-5, max(errs)
+
+    # checkpoint save/restore under the PP placement round-trips bit-exact
+    path = tr_pp.save()
+    np.random.seed(123)
+    pipe3 = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=3)
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    tr3 = type(tr_pp)(
+        pipe3, ds, num_epoch=1, valid_size=4, optim_name='lion', lr=1e-3,
+        warmup_steps=1, decay_steps=10, batch_size=8, num_workers=0,
+        grad_accum_steps=1, mixed_precision='no', save_every=1000,
+        sample_every=1000, result_folder=str(tmp_path / 'pp'),
+        log_dir=str(tmp_path / 'log'), seed=5, cfg_p=0.0, mesh=mesh,
+        pp_microbatches=2)
+    tr3.resume(path)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_pp.state['params']),
+                    jax.tree_util.tree_leaves(tr3.state['params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_8
+def test_pp_generate_matches_dense():
+    """Pipeline.generate through enable_pipeline_parallel produces the same
+    samples as the dense decode (deterministic: temperature 0, topk 1)."""
+    from paintmind_tpu.models.pipeline import Pipeline
+
+    cfg = _pp_pipeline_cfg(depth=4, dropout=0.0)
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=9)
+    key = jax.random.PRNGKey(42)
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (4, 5, 48)).astype(np.float32))
+
+    ref = pipe.generate(text=ctx, timesteps=2, temperature=0.0, topk=1,
+                        decode_steps='final', key=key)[-1]
+
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    pipe.enable_pipeline_parallel(mesh, microbatches=2)
+    assert pipe._pp is not None
+    out = pipe.generate(text=ctx, timesteps=2, temperature=0.0, topk=1,
+                        decode_steps='final', key=key)[-1]
+    assert _mae(out, ref) < 1e-4
+
+    # guided decode through the PP path (hidden-mix CFG)
+    guided = pipe.generate(text=ctx, timesteps=2, temperature=0.0, topk=1,
+                           guidance_scale=2.0, decode_steps='final', key=key)
+    assert np.asarray(guided[-1]).shape == np.asarray(ref).shape
+    pipe.disable_pipeline_parallel()
+    back = pipe.generate(text=ctx, timesteps=2, temperature=0.0, topk=1,
+                         decode_steps='final', key=key)[-1]
+    assert _mae(back, ref) < 1e-5
+
+
+@needs_8
+def test_pp_guards():
+    """MoE params are rejected with a clear message; bad meshes/batches are
+    rejected at trainer construction."""
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from test_training import SMALL_VQ
+
+    moe_cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=DIM,
+                             dim_head=DIM_HEAD, mlp_dim=MLP, num_head=HEADS,
+                             depth=2, dropout=0.0,
+                             vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                             t5_dim=48, num_experts=2)
+    moe_pipe = Pipeline(moe_cfg, stage1_pretrained=False, text_encoder=None)
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    with pytest.raises(NotImplementedError, match='MoE'):
+        moe_pipe.enable_pipeline_parallel(mesh, 2)
+    with pytest.raises(NotImplementedError, match='MoE'):
+        pp.pp_cond_transformer_apply(
+            moe_pipe.params['transformer'], jnp.zeros((4, 16, 8)),
+            cfg=moe_cfg.tcfg, mesh=mesh, microbatches=2)
+
+    dense = Pipeline(_pp_pipeline_cfg(depth=3), stage1_pretrained=False,
+                     text_encoder=None)
+    with pytest.raises(ValueError, match='depth'):
+        dense.enable_pipeline_parallel(mesh, 2)

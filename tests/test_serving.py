@@ -479,3 +479,49 @@ def test_engine_serves_moe_pipeline():
         assert out.shape == (32, 32, 3) and np.isfinite(out).all()
     assert rec.shape == (32, 32, 3) and np.isfinite(rec).all()
     assert eng.stats()['batches'] <= 3  # generates coalesced
+
+
+def test_engine_serves_sharded_pipeline():
+    """VERDICT r3 #5: the engine hosts a TP-sharded pipeline (mesh=...) and
+    produces IDENTICAL images to the unsharded engine for the same seeded
+    requests — sharding is a placement choice, not a model change."""
+    import jax
+    from paintmind_tpu.parallel import mesh as pmesh
+    from paintmind_tpu.parallel.context import set_active_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    def outputs(mesh):
+        pipe2 = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                            text_encoder=None, seed=0)
+        try:
+            with GenerationEngine(pipe2, max_batch=4, max_wait_ms=200,
+                                  mesh=mesh) as eng:
+                futs = [eng.submit(GenerateRequest(timesteps=2, topk=1,
+                                                   temperature=0.0, seed=i))
+                        for i in range(3)]
+                outs = [f.result(timeout=300) for f in futs]
+                stats = eng.stats()
+            return outs, stats
+        finally:
+            set_active_mesh(None)
+
+    ref, _ = outputs(None)
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    sh, stats = outputs(mesh)
+    assert stats['batches'] >= 1
+    for a, b in zip(ref, sh):
+        assert float(np.max(np.abs(a - b))) < 1e-4
+
+    # sequence-parallel activation layout serves too (512²-variant path)
+    pipe_sp = pl.Pipeline(config=SMALL_PIPE, stage1_pretrained=False,
+                          text_encoder=None, seed=0)
+    try:
+        with GenerationEngine(pipe_sp, max_batch=4, max_wait_ms=100,
+                              mesh=mesh, sequence_parallel=True) as eng:
+            out = eng.submit(GenerateRequest(timesteps=2, topk=1,
+                                             temperature=0.0,
+                                             seed=0)).result(timeout=300)
+        assert np.isfinite(out).all() and out.shape == (32, 32, 3)
+    finally:
+        set_active_mesh(None)

@@ -639,3 +639,68 @@ def test_paintmind_trainer_trains_moe_variant(tmp_path):
     router1 = np.asarray(jax.tree_util.tree_leaves(
         pipe.params['transformer']['layers']['ffnet']['router'])[0])
     assert not np.array_equal(router0, router1)  # the router trained
+    # routing health is surfaced in the logs (VERDICT r3 #2): lb loss ≈ 1
+    # at near-balance, dropped ∈ [0, 1], per-expert load fractions bounded
+    for k in ('lb loss', 'router z', 'dropped', 'expert load max',
+              'expert load min'):
+        assert k in trainer.log, k
+        assert np.isfinite(trainer.log[k]), k
+    assert 0.0 <= trainer.log['dropped'] <= 1.0
+    assert 0.0 <= trainer.log['expert load min'] \
+        <= trainer.log['expert load max'] <= 1.0
+
+
+def test_paintmind_trainer_preemption_resume(tmp_path):
+    """SIGTERM mid-run → the trainer saves a clean generation and exits;
+    resume('auto') restores it bit-exact and training continues
+    (VERDICT r3 #7)."""
+    import os
+    import signal
+
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=1,
+                         dropout=0.0, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48)
+    ds = _SynthDataset(44, 32, with_caption=False)
+
+    def make_trainer(pipe, folder):
+        return PaintMindTrainer(
+            pipe, ds, num_epoch=3, valid_size=4, optim_name='lion', lr=1e-3,
+            warmup_steps=1, decay_steps=10, batch_size=8, num_workers=0,
+            grad_accum_steps=1, mixed_precision='no', save_every=1000,
+            sample_every=1000, result_folder=folder,
+            log_dir=str(tmp_path / 'log'), seed=11)
+
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=7)
+    trainer = make_trainer(pipe, str(tmp_path))
+
+    orig_step = trainer._step
+    calls = {'n': 0}
+
+    def step_then_sigterm(*a):
+        calls['n'] += 1
+        out = orig_step(*a)
+        if calls['n'] == 2:  # deliver the real signal mid-training
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    trainer._step = step_then_sigterm
+    trainer.train()          # exits early via the preemption path
+    assert trainer._preempted and trainer.steps == 2
+    saved = jax.tree_util.tree_map(np.asarray, trainer.state)
+
+    # fresh process-equivalent: new objects, auto-resume
+    pipe2 = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=7)
+    trainer2 = make_trainer(pipe2, str(tmp_path))
+    trainer2.resume('auto')
+    assert trainer2.steps == 2
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(trainer2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues from the restored state
+    trainer2.train()
+    assert trainer2.steps > 2

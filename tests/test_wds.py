@@ -92,12 +92,52 @@ def test_shard_granular_resume(tmp_path):
     write_shards(src, str(tmp_path / 'train'), shard_size=4)
     ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
     full = _ids(list(ds))
-    # resume epoch 0 from shard 1: yields exactly the last two shards
+    # legacy shard-granular resume: epoch 0 from shard 1 = last two shards
     ds2 = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
     ds2.set_epoch(0, start_shard=1)
     assert _ids(list(ds2)) == full[4:]
     # state() after a completed epoch points at the next epoch's start
-    assert ds.state() == {'epoch': 1, 'start_shard': 0}
+    assert ds.state() == {'epoch': 1, 'start_item': 0}
+
+
+def test_mid_shard_resume_exact(tmp_path):
+    """Stop mid-shard, resume from state(): continues exactly — no item
+    replayed, none lost (VERDICT r3 #8)."""
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=4)
+    full = _ids(list(ShardedTarDataset(str(tmp_path / 'train-*.tar'),
+                                       seed=2)))
+    for stop in (2, 5, 11):  # mid-shard 0, mid-shard 1, last item
+        ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
+        it = iter(ds)
+        head = [next(it) for _ in range(stop)]
+        st = ds.state()
+        assert st == {'epoch': 0, 'start_item': stop}
+        ds2 = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=2)
+        ds2.set_epoch(**st)
+        tail = list(ds2)
+        assert _ids(head) + _ids(tail) == full
+        # the resumed stream rolls into epoch 1 with a fresh offset
+        assert ds2.state() == {'epoch': 1, 'start_item': 0}
+
+
+def test_mid_shard_resume_with_shuffle_buffer(tmp_path):
+    """Exact resume also holds across a reservoir shuffle: the epoch stream
+    is deterministic in (seed, epoch), so skip-replay reproduces it."""
+    src = _corpus(tmp_path)
+    write_shards(src, str(tmp_path / 'train'), shard_size=4)
+    ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=5,
+                           shuffle_buffer=6)
+    full = _ids(list(ds))
+    assert sorted(full) == list(range(12))
+    ds = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=5,
+                           shuffle_buffer=6)
+    it = iter(ds)
+    head = [next(it) for _ in range(7)]
+    ds2 = ShardedTarDataset(str(tmp_path / 'train-*.tar'), seed=5,
+                            shuffle_buffer=6)
+    ds2.set_epoch(**ds.state())
+    assert _ids(head) + _ids(list(ds2)) == full
 
 
 def test_iterable_loader_batches(tmp_path):
