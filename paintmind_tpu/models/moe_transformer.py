@@ -33,6 +33,8 @@ class MoECondTransformerConfig(CondTransformerConfig):
     capacity_factor: float = 1.25
     lb_weight: float = 0.01     # Switch-style load-balance loss weight
     zloss_weight: float = 1e-3  # router logit z-loss weight
+    # 'auto' | 'dense' | 'gather' — see nn.moe.moe_swiglu (VERDICT r3 #3)
+    moe_dispatch: str = 'auto'
 
 
 def init_moe_cond_transformer(key, cfg: MoECondTransformerConfig,
@@ -77,7 +79,8 @@ def moe_cond_transformer_apply(p, x, context=None, *,
                              capacity_factor=cfg.capacity_factor,
                              dropout_rate=cfg.dropout, key=key,
                              deterministic=deterministic, backend=backend,
-                             remat=remat, act_sharding=act_sharding)
+                             remat=remat, act_sharding=act_sharding,
+                             dispatch=cfg.moe_dispatch)
     x = layernorm(p['norm'], x)
     return linear(p['to_logits'], x), aux
 

@@ -78,6 +78,7 @@ class PipelineConfig:
     num_experts: int = 0
     num_selected: int = 2
     capacity_factor: float = 1.25
+    moe_dispatch: str = 'auto'  # 'dense'|'gather' — nn.moe.moe_swiglu
 
     @classmethod
     def from_dict(cls, d):
@@ -92,7 +93,8 @@ class PipelineConfig:
                                                  False),
                    num_experts=d.get('num_experts', 0),
                    num_selected=d.get('num_selected', 2),
-                   capacity_factor=d.get('capacity_factor', 1.25))
+                   capacity_factor=d.get('capacity_factor', 1.25),
+                   moe_dispatch=d.get('moe_dispatch', 'auto'))
 
     @property
     def image_size(self):
@@ -121,7 +123,8 @@ class PipelineConfig:
             from .moe_transformer import MoECondTransformerConfig
             return MoECondTransformerConfig(
                 num_experts=self.num_experts, num_selected=self.num_selected,
-                capacity_factor=self.capacity_factor, **kw)
+                capacity_factor=self.capacity_factor,
+                moe_dispatch=self.moe_dispatch, **kw)
         return CondTransformerConfig(**kw)
 
 

@@ -51,13 +51,31 @@ def num_experts(p) -> int:
     return jax.tree_util.tree_leaves(p['experts'])[0].shape[0]
 
 
-def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25):
+def _auto_dispatch():
+    """'gather' on a single device, 'dense' under an expert-parallel mesh:
+    the scatter/gather form moves O(T·k·D) bytes (vs the one-hot einsums'
+    O(T·E·C·D) FLOPs — quadratic in T since C ∝ T), but XLA's SPMD
+    partitioner handles the dense einsums best when the expert axis is
+    sharded (scatter destinations spanning devices degrade to gathers)."""
+    from ..parallel.context import active_mesh
+    return 'dense' if active_mesh() is not None else 'gather'
+
+
+def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25,
+               dispatch='auto'):
     """x: (..., D) → (y, aux).
 
     y: (..., D_out) — the combined expert outputs (zero rows for dropped
     tokens; callers add the residual around this as usual).
     aux: {'lb_loss': scalar, 'router_z': scalar, 'dropped': scalar fraction
-    of (token, slot) assignments beyond capacity}.
+    of (token, slot) assignments beyond capacity, 'expert_load': (E,)}.
+
+    dispatch: 'dense' = one-hot (T, E, C) einsum dispatch/combine — exact,
+    MXU-shaped, and the form XLA partitions under expert parallelism;
+    'gather' = scatter-add dispatch + gather combine — identical math,
+    O(T·k·D) data movement instead of O(T·E·C)=O(T²·k·cf) einsum FLOPs
+    (measured dominant at stage-2 dims, VERDICT r3 #3); 'auto' picks by
+    the active mesh (:func:`_auto_dispatch`).
     """
     e = num_experts(p)
     k = min(num_selected, e)
@@ -65,6 +83,8 @@ def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25):
     d = x.shape[-1]
     xt = x.reshape(-1, d)
     t = xt.shape[0]
+    if dispatch == 'auto':
+        dispatch = _auto_dispatch()
 
     # --- gate (router math in fp32 regardless of activation dtype) -------
     logits = linear(p['router'], xt.astype(jnp.float32))        # (T, E)
@@ -82,17 +102,37 @@ def moe_swiglu(p, x, *, num_selected=2, capacity_factor=1.25):
     pos = pos.astype(jnp.int32)                                 # (T, k)
     keep = (pos < cap) & (gate > 0)
 
-    # dispatch: (T, E, C) one-hot over (expert, queue position)
-    pos_oh = jax.nn.one_hot(pos, cap, dtype=x.dtype)            # (T, k, C)
-    disp = jnp.einsum('tke,tkc->tec', onehot.astype(x.dtype) *
-                      keep[..., None].astype(x.dtype), pos_oh)
-    comb = jnp.einsum('tke,tkc->tec',
-                      (gate.astype(x.dtype) * keep.astype(x.dtype))[..., None]
-                      * onehot.astype(x.dtype), pos_oh)
+    if dispatch == 'gather':
+        # scatter-add dispatch: each kept (token, slot) pair owns a unique
+        # (expert, queue) cell by construction (pos is a per-expert running
+        # count), so the adds never collide; dropped pairs get an
+        # out-of-range queue index and are discarded by the scatter.
+        # Backward is free: scatter-add transposes to the combine gather
+        # and vice versa.
+        w = keep.astype(x.dtype)                                # (T, k)
+        slot = jnp.where(keep, pos, cap)                        # OOB = drop
+        x_rep = jnp.repeat(xt, k, axis=0)                       # (T·k, D)
+        expert_in = jnp.zeros((e, cap, d), x.dtype).at[
+            idx.reshape(-1), slot.reshape(-1)].add(
+            x_rep * w.reshape(-1)[:, None], mode='drop')
+        expert_out = jax.vmap(swiglu)(p['experts'], expert_in)  # (E, C, Do)
+        picked = expert_out.at[idx.reshape(-1), slot.reshape(-1)].get(
+            mode='fill', fill_value=0)                          # (T·k, Do)
+        gk = (gate.astype(x.dtype) * w).reshape(-1)[:, None]
+        y = (picked * gk).reshape(t, k, -1).sum(axis=1)         # (T, Do)
+    else:
+        # dispatch: (T, E, C) one-hot over (expert, queue position)
+        pos_oh = jax.nn.one_hot(pos, cap, dtype=x.dtype)        # (T, k, C)
+        disp = jnp.einsum('tke,tkc->tec', onehot.astype(x.dtype) *
+                          keep[..., None].astype(x.dtype), pos_oh)
+        comb = jnp.einsum('tke,tkc->tec',
+                          (gate.astype(x.dtype)
+                           * keep.astype(x.dtype))[..., None]
+                          * onehot.astype(x.dtype), pos_oh)
 
-    expert_in = jnp.einsum('tec,td->ecd', disp, xt)             # (E, C, D)
-    expert_out = jax.vmap(swiglu)(p['experts'], expert_in)      # (E, C, Do)
-    y = jnp.einsum('tec,ecd->td', comb, expert_out)             # (T, Do)
+        expert_in = jnp.einsum('tec,td->ecd', disp, xt)         # (E, C, D)
+        expert_out = jax.vmap(swiglu)(p['experts'], expert_in)  # (E, C, Do)
+        y = jnp.einsum('tec,ecd->td', comb, expert_out)         # (T, Do)
 
     # --- aux losses (Switch lb loss uses top-1 dispatch fractions) -------
     top1 = jax.nn.one_hot(idx[:, 0], e, dtype=jnp.float32)
@@ -140,7 +180,7 @@ def init_moe_block(key, dim, *, dim_head, mlp_dim, num_head, num_experts,
 
 def moe_block_apply(p, x, context=None, *, heads, num_selected=2,
                     capacity_factor=1.25, dropout_rate=0.0, key=None,
-                    deterministic=True, backend=None):
+                    deterministic=True, backend=None, dispatch='auto'):
     from .attention import attention
     from .core import layernorm
     has_cross = 'attn2' in p
@@ -156,11 +196,13 @@ def moe_block_apply(p, x, context=None, *, heads, num_selected=2,
                           deterministic=deterministic, backend=backend)
         h, aux = moe_swiglu(p['ffnet'], layernorm(p['norm3'], x),
                             num_selected=num_selected,
-                            capacity_factor=capacity_factor)
+                            capacity_factor=capacity_factor,
+                            dispatch=dispatch)
     else:
         h, aux = moe_swiglu(p['ffnet'], layernorm(p['norm2'], x),
                             num_selected=num_selected,
-                            capacity_factor=capacity_factor)
+                            capacity_factor=capacity_factor,
+                            dispatch=dispatch)
     return x + h, aux
 
 
@@ -180,11 +222,13 @@ def init_moe_stack(key, depth, dim, *, dim_head, mlp_dim, num_head,
 def moe_stack_apply(p, x, context=None, *, heads, num_selected=2,
                     capacity_factor=1.25, dropout_rate=0.0, key=None,
                     deterministic=True, backend=None, remat=False,
-                    act_sharding=None):
+                    act_sharding=None, dispatch='auto'):
     """Scanned MoE stack.  Returns (x, aux) with aux scalars averaged over
     depth (so loss weights are depth-independent)."""
     depth = jax.tree_util.tree_leaves(p)[0].shape[0]
     keys = jax.random.split(key, depth) if key is not None else None
+    if dispatch == 'auto':
+        dispatch = _auto_dispatch()  # resolve once, outside the scan body
 
     def body(carry, layer):
         h, acc = carry
@@ -196,7 +240,8 @@ def moe_stack_apply(p, x, context=None, *, heads, num_selected=2,
                                  num_selected=num_selected,
                                  capacity_factor=capacity_factor,
                                  dropout_rate=dropout_rate, key=layer_key,
-                                 deterministic=deterministic, backend=backend)
+                                 deterministic=deterministic, backend=backend,
+                                 dispatch=dispatch)
         if act_sharding is not None:
             h = jax.lax.with_sharding_constraint(h, act_sharding)
         acc = jax.tree_util.tree_map(jnp.add, acc, aux)

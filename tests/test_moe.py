@@ -325,3 +325,44 @@ def test_moe_pipeline_checkpoint_roundtrip(tmp_path, moe_pipe_params):
         other.params['transformer']['layers']['ffnet']['experts'])[0]
     assert not np.array_equal(np.asarray(before).ravel()[:8],
                               np.asarray(after).ravel()[:8])
+
+
+@pytest.mark.parametrize('capacity_factor', [0.5, 1.25, 4.0])
+def test_gather_dispatch_matches_dense(rng, capacity_factor):
+    """The scatter/gather dispatch path (VERDICT r3 #3) is numerically
+    identical to the dense one-hot einsum form — same capacity semantics,
+    same drops, same aux — in forward AND backward."""
+    p = moe.init_moe_swiglu(jax.random.PRNGKey(3), DIM, MLP, num_experts=4)
+    x = jnp.asarray(rng.standard_normal((3, 20, DIM)).astype(np.float32))
+
+    y_d, aux_d = moe.moe_swiglu(p, x, num_selected=2,
+                                capacity_factor=capacity_factor,
+                                dispatch='dense')
+    y_g, aux_g = moe.moe_swiglu(p, x, num_selected=2,
+                                capacity_factor=capacity_factor,
+                                dispatch='gather')
+    assert _mae(y_d, y_g) < 1e-6
+    for k in aux_d:
+        assert _mae(aux_d[k], aux_g[k]) < 1e-6, k
+
+    def loss(p_, mode):
+        y, aux = moe.moe_swiglu(p_, x, num_selected=2,
+                                capacity_factor=capacity_factor,
+                                dispatch=mode)
+        return jnp.sum(y ** 2) + aux['lb_loss']
+
+    g_d = jax.grad(lambda p_: loss(p_, 'dense'))(p)
+    g_g = jax.grad(lambda p_: loss(p_, 'gather'))(p)
+    errs = jax.tree_util.tree_map(_mae, g_d, g_g)
+    assert max(jax.tree_util.tree_leaves(errs)) < 1e-5
+
+
+def test_gather_dispatch_bf16(rng):
+    """bf16 activations (the production sampler dtype) route identically
+    through both dispatch forms."""
+    p = moe.init_moe_swiglu(jax.random.PRNGKey(4), DIM, MLP, num_experts=4)
+    x = jnp.asarray(rng.standard_normal((2, 16, DIM))).astype(jnp.bfloat16)
+    y_d, _ = moe.moe_swiglu(p, x, dispatch='dense')
+    y_g, _ = moe.moe_swiglu(p, x, dispatch='gather')
+    assert y_d.dtype == y_g.dtype == jnp.bfloat16
+    assert _mae(y_d.astype(np.float32), y_g.astype(np.float32)) < 1e-2

@@ -81,6 +81,11 @@ def main():
                          'every step (measured 2x slower)')
     ap.add_argument('--result-folder', default='./results/paintmind_v2')
     ap.add_argument('--log-dir', default='./log/paintmind_v2')
+    ap.add_argument('--version', default='paintmindv1',
+                    help="pipeline version from the registry — e.g. "
+                         "'paintmindv1-moe' trains the expert-routed "
+                         'variant through the identical harness (router '
+                         'health lands in the metric logs)')
     args = ap.parse_args()
 
     import jax
@@ -113,7 +118,8 @@ def main():
     stage1 = args.stage1 or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'paintmind_tpu', 'assets', 'vit_vq_photo.npz')
-    model = pm.create_pipeline_for_train(stage1_pretrained=False,
+    model = pm.create_pipeline_for_train(version=args.version,
+                                         stage1_pretrained=False,
                                          stage1_checkpoint_path=stage1,
                                          text_encoder=None)
     if args.init:
