@@ -37,16 +37,21 @@ class Log:
 
 class MetricWriter:
     """Tensorboard writer on host 0 (torch.utils.tensorboard, which the
-    image ships), with JSONL fallback."""
+    image ships), with JSONL fallback.  Set ``PAINTMIND_JSONL_LOG=1`` to
+    force the JSONL sink even when tensorboard is importable — the curve
+    files stay greppable/plottable without a TB event reader."""
 
     def __init__(self, log_dir, name='run'):
         self.log_dir = os.path.join(log_dir, name)
         os.makedirs(self.log_dir, exist_ok=True)
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self._tb = SummaryWriter(self.log_dir)
-        except Exception:
+        if os.environ.get('PAINTMIND_JSONL_LOG') != '1':
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(self.log_dir)
+            except Exception:
+                pass
+        if self._tb is None:
             self._jsonl = open(os.path.join(self.log_dir, 'metrics.jsonl'), 'a')
 
     def log(self, metrics, step):
