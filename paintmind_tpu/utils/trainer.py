@@ -119,11 +119,28 @@ class _TrainerBase:
         background; the next save (or trainer exit) synchronizes.  Sharded
         leaves (ZeRO-1 optimizer state) are staged shard-by-shard from
         their owning devices — no host-side full-array gather — unlike the
-        reference's blocking whole-model torch.save (trainer.py:261-264)."""
+        reference's blocking whole-model torch.save (trainer.py:261-264).
+
+        On a SINGLE device the state is first staged to host with serial
+        per-leaf ``np.asarray`` fetches and orbax only writes host arrays.
+        Orbax's own staging issues concurrent device→host transfers from
+        multiple threads, which deadlocks remote-tunnel device transports
+        (observed in anger: a 514M-param MoE state save wedged for an hour
+        on the 'axon' tunnel — transfer thread blocked in tcp_recvmsg,
+        every worker futex-parked — while the serial npz export of the
+        same >500MB leaves succeeded every time).  Single-device saves
+        have no shard-by-shard staging to lose, so the serial path is
+        strictly more robust there.  Override with
+        ``PAINTMIND_HOST_STAGED_SAVE=1`` (force on) / ``=0`` (force off)."""
         path = os.path.abspath(os.path.join(self.model_saved_dir, name))
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()  # at most one save in flight
-        ckptr.save(path, self.state, force=True)
+        knob = os.environ.get('PAINTMIND_HOST_STAGED_SAVE', '')
+        host_stage = (jax.device_count() == 1 if knob == ''
+                      else knob != '0')
+        state = (jax.tree_util.tree_map(np.asarray, self.state)
+                 if host_stage else self.state)
+        ckptr.save(path, state, force=True)
         return path
 
     def finalize_checkpoints(self):
