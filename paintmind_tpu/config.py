@@ -143,6 +143,15 @@ pipeline_v1_moe_config = {
     'capacity_factor': 1.25,
 }
 
+# Single-chip MoE: E=4 keeps the full AdamW+EMA training state inside one
+# v5e's 16G HBM (E=8 needs 20.8G — that variant trains under expert
+# parallelism, where the 'model' mesh axis splits the expert pool and the
+# optimizer state with it).  Same top-2 routing and capacity discipline.
+pipeline_v1_moe_4e_config = {
+    **pipeline_v1_moe_config,
+    'num_experts': 4,
+}
+
 ver2cfg = {
     'vit-s-vqgan': vit_s_vqgan_config,
     'vit-s-vqgan-512': vit_s_vqgan_512_config,
@@ -151,6 +160,7 @@ ver2cfg = {
     'paintmindv1-clip': pipeline_v1_clip_config,
     'paintmindv1-imgvar': pipeline_v1_imgvar_config,
     'paintmindv1-moe': pipeline_v1_moe_config,
+    'paintmindv1-moe-4e': pipeline_v1_moe_4e_config,
 }
 
 
