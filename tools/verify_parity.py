@@ -253,8 +253,13 @@ CHECKS = [
 
 
 def run(fake=False, out=None):
+    # Exact-parity gates (1e-4..1e-6 vs fp64 torch) require true fp32
+    # matmuls; on TPU the fp32 default is bf16 passes, which alone costs
+    # ~4e-3 MAE and fails the gates spuriously.
+    import jax
     report = {}
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory() as tmp, \
+            jax.default_matmul_precision('highest'):
         for name, fn in CHECKS:
             try:
                 if fake and name == 'lpips':
