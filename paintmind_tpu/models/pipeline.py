@@ -202,6 +202,13 @@ deterministic=...)`` signature — the pipeline-parallel trainer passes the
     z_q = jax.lax.stop_gradient(z_q)
     x, mask = random_masking(k_mask, z_q, params['mask_token'], mask_ratio)
     if cfg.num_experts:
+        if transformer_apply is not None:
+            # mirror the trainer's guard (utils/trainer.py): a GPipe apply
+            # passed with an MoE config would otherwise silently train
+            # through the plain MoE path instead of pipelining
+            raise NotImplementedError(
+                'pipeline_loss: transformer_apply (pipeline parallelism) '
+                'does not support the MoE variant — use expert parallelism')
         # MoE variant: same masked-CE objective plus the weighted routing
         # losses (Switch load-balance + router z-loss) so the router trains.
         from .moe_transformer import moe_cond_transformer_apply
@@ -723,7 +730,7 @@ class Pipeline:
         stage-2 layer stack GPipe-pipelined over the mesh 'model' axis —
         for variants too deep for one chip's HBM.  Places the transformer
         params stage-wise (parallel.pipeline_parallel.shard_for_pp); the
-        data axis keeps pure DP outside.  Batch sizes must divide
+        data axis keeps pure DP outside.  Batch sizes must be divisible by
         dp × microbatches.  Returns self.
 
         ``mesh=None`` uses the active mesh (parallel.set_active_mesh)."""
@@ -745,8 +752,8 @@ class Pipeline:
                              'parallelism needs >= 2 stages '
                              '(make_mesh(model_parallel=N))')
         if self.config.depth % stages:
-            raise ValueError(f'depth {self.config.depth} must divide '
-                             f'{stages} pipeline stages')
+            raise ValueError(f'depth {self.config.depth} must be '
+                             f'divisible by {stages} pipeline stages')
         params = dict(self.params)
         params['transformer'] = ppar.shard_for_pp(params['transformer'], mesh)
         self.params = params

@@ -113,11 +113,18 @@ class GenerationEngine:
                  sequence_parallel=False):
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # bucket programs survive restarts
+        self._prev_mesh = self._restore_mesh = None
         if mesh is not None:
             # serve sharded (VERDICT r3 #5): TP/EP param placement via
             # Pipeline.shard — the engine's batching/bucketing is layout-
             # agnostic, decode programs compile against the sharded params.
             # ``sequence_parallel`` adds the 512²-variant activation layout.
+            # shard() registers the mesh process-globally; remember what it
+            # replaced so close() can restore it — otherwise a subsequently
+            # constructed unsharded pipeline silently inherits this mesh
+            # (round-4 advisor finding).
+            from ..parallel.context import active_mesh
+            self._prev_mesh, self._restore_mesh = active_mesh(), True
             pipeline.shard(mesh, sequence_parallel=sequence_parallel)
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
@@ -192,6 +199,10 @@ class GenerationEngine:
         self._closed = True
         self._queue.put(None)
         self._thread.join(timeout)
+        if self._restore_mesh:
+            from ..parallel.context import set_active_mesh
+            set_active_mesh(self._prev_mesh)
+            self._restore_mesh = False
 
     def __enter__(self):
         return self

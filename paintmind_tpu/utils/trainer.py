@@ -588,13 +588,13 @@ class PaintMindTrainer(_TrainerBase):
                     f"mesh 'model' axis is {stages} — pipeline parallelism "
                     'needs >= 2 stages (make_mesh(model_parallel=N))')
             if model.config.depth % stages:
-                raise ValueError(f'depth {model.config.depth} must divide '
-                                 f'{stages} pipeline stages')
+                raise ValueError(f'depth {model.config.depth} must be '
+                                 f'divisible by {stages} pipeline stages')
             dp = self.mesh.shape.get('data', 1)
             if batch_size % (dp * pp_microbatches):
                 raise ValueError(
-                    f'batch_size {batch_size} must divide dp={dp} × '
-                    f'pp_microbatches={pp_microbatches}')
+                    f'batch_size {batch_size} must be divisible by '
+                    f'dp={dp} × pp_microbatches={pp_microbatches}')
             transformer_apply = functools.partial(
                 ppar.pp_cond_transformer_apply, cfg=model.config.tcfg,
                 mesh=self.mesh, microbatches=pp_microbatches, remat=remat)

@@ -61,7 +61,8 @@ def main():
     for s in steps:
         b = smoothed(base, s, args.window)
         c = smoothed(cand, s, args.window)
-        row = cand.get(s) or cand.get(max(k for k in cand if k <= s), {})
+        prev = max((k for k in cand if k <= s), default=None)
+        row = cand.get(s) or (cand.get(prev, {}) if prev is not None else {})
         d = f'{c - b:+.3f}' if (b is not None and c is not None) else '-'
         lb = row.get('lb loss')
         dr = row.get('dropped')
