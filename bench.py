@@ -11,11 +11,32 @@ here): per 16-step image = 16 × (CondTransformer fwd 10.7 s + VQGAN decode
 1.1 s) at batch 1, single core ⇒ 0.0053 images/sec (measured 2026-08-16,
 torch 2.13 CPU, reference modules invoked directly).  Different hardware
 classes — the ratio is a capability statement, not a kernel-level A/B.
+
+Structure (round 5, VERDICT r4 #1): the parent process never imports JAX —
+it runs the cold measurement and the warm-restart probe as SEQUENTIAL
+subprocesses, so the warm probe never contends with a parent that still
+holds the remote-TPU tunnel (the round-4 artifact's 250 s "warm" probe ran
+concurrently with the parent's live client and measured contention, not
+warm start).  Each child prints a phase breakdown + persistent-cache
+hit/miss counters to stderr so the artifact itself shows where the time
+went: on this hosted runtime the first-call latency is dominated by tunnel
+dispatch latency and cached-executable loading, NOT XLA compilation —
+phase-probed at a quiet tunnel: devices 10 s, first dispatch 7 s, param
+init 10 s, first generate 24.5 s (115 cache hits / 6 misses), steady-state
+4.48 s (tools/startup_probe.py).  Driver-time numbers scale with whatever
+load the shared tunnel is under.
+
+``cfg_value`` (VERDICT r4 #4) is one guided rep at guidance_scale=2.0 at
+the best batch.  Note: contexts are precomputed random embeddings in BOTH
+the plain and guided paths — no T5 forward is included (real T5 weights
+are unreachable offline; BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -26,9 +47,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import argparse
+def _install_cache_counter():
+    """Counts persistent-compilation-cache hits/misses via jax's debug logs
+    (no public API).  Returns the counter object."""
+    import logging
 
+    class _Counter(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.DEBUG)
+            self.hits = 0
+            self.misses = 0
+
+        def emit(self, record):
+            low = record.getMessage().lower()
+            if 'cache hit' in low:
+                self.hits += 1
+            elif 'cache miss' in low or 'not found in persistent' in low:
+                self.misses += 1
+
+    counter = _Counter()
+    for name in ('jax._src.compiler', 'jax._src.compilation_cache'):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(counter)
+        lg.propagate = False  # keep the per-key debug spam off stderr
+    return counter
+
+
+def child(mode, args):
+    """One measured process: builds the pipeline, runs the sampler.
+
+    mode='cold': batch sweep + best-of-4 steady state + one guided rep;
+    prints a JSON result line (marker-prefixed) on stdout.
+    mode='warm': one generate at args.batch against the (populated)
+    persistent cache; prints the same marker JSON with phase timings.
+    """
+    t_proc0 = time.time()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,15 +90,7 @@ def main():
     from paintmind_tpu.models.pipeline import Pipeline
     from paintmind_tpu.utils.compile_cache import enable_persistent_cache
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--quant', choices=('w8', 'w8a8'), default=None,
-                    help='int8-quantize the stage-2 transformer first '
-                         '(nn/quant.py); default stays the bf16 headline')
-    ap.add_argument('--warm-probe', type=int, default=None, metavar='BATCH',
-                    help='internal: build the pipeline, run ONE generate at '
-                         'this batch against the (now-populated) persistent '
-                         'compile cache, print seconds-to-first-image only')
-    args = ap.parse_args()
+    counter = _install_cache_counter()
 
     # fail fast when the hosted TPU tunnel is down: device discovery
     # otherwise blocks indefinitely and the driver only sees a hang
@@ -58,28 +104,50 @@ def main():
     signal.signal(signal.SIGALRM, _discovery_timeout)
     signal.alarm(600)
     cache = enable_persistent_cache()
-    log('devices:', jax.devices(), '| compile cache:', cache)
+    t0 = time.time()
+    devs = jax.devices()
+    t_devices = time.time() - t0
+    log(f'[{mode}] devices: {devs} | compile cache: {cache} '
+        f'({t_devices:.1f}s discovery)')
     signal.alarm(0)
+
+    t0 = time.time()
     pipe = Pipeline(stage1_pretrained=False, text_encoder=None,
                     compute_dtype=jnp.bfloat16)
+    t_params = time.time() - t0
     if args.quant:
         pipe.quantize(args.quant)
-        log('stage-2 transformer quantized:', args.quant)
-    tag = f'int8-{args.quant}' if args.quant else 'bf16'
+        log(f'[{mode}] stage-2 transformer quantized: {args.quant}')
+    log(f'[{mode}] pipeline built (param init) {t_params:.1f}s | '
+        f'cache hits={counter.hits} misses={counter.misses}')
     timesteps = 16
 
-    if args.warm_probe is not None:
-        # warm-restart measurement (VERDICT r3 #4): a fresh process, the
-        # persistent cache populated by the parent run — time from pipeline
-        # construction to the first finished image batch.
-        batch = args.warm_probe
+    # NOTE: block_until_ready does not reliably block on the remote-TPU
+    # runtime here — force a scalar host transfer to fence the device.
+    def fence(out):
+        return float(jnp.sum(out[-1].astype(jnp.float32)))
+
+    def gen(ctx, key, **kw):
+        return pipe.generate(text=ctx, timesteps=timesteps, topk=5,
+                             decode_steps='final',
+                             key=jax.random.PRNGKey(key), **kw)
+
+    if mode == 'warm':
+        batch = args.batch
         ctx = jnp.asarray(np.random.default_rng(0).standard_normal(
             (batch, 77, 1024)).astype(np.float32))
         t0 = time.time()
-        out = pipe.generate(text=ctx, timesteps=timesteps, topk=5,
-                            decode_steps='final', key=jax.random.PRNGKey(0))
-        float(jnp.sum(out[-1].astype(jnp.float32)))
-        print(f'{time.time() - t0:.3f}')
+        fence(gen(ctx, 0))
+        t_first = time.time() - t0
+        log(f'[warm] first generate {t_first:.1f}s | cache '
+            f'hits={counter.hits} misses={counter.misses}')
+        print('@@RESULT@@' + json.dumps({
+            'warm_first_s': round(t_first, 1),
+            'warm_devices_s': round(t_devices, 1),
+            'warm_params_s': round(t_params, 1),
+            'warm_in_process_total_s': round(time.time() - t_proc0, 1),
+            'cache_hits': counter.hits, 'cache_misses': counter.misses,
+        }))
         return
 
     best = 0.0
@@ -90,18 +158,12 @@ def main():
     for batch in (64, 32, 8):
         ctx = jnp.asarray(np.random.default_rng(0).standard_normal(
             (batch, 77, 1024)).astype(np.float32))
-        # NOTE: block_until_ready does not reliably block on the remote-TPU
-        # runtime here — force a scalar host transfer to fence the device.
-        def fence(out):
-            return float(jnp.sum(out[-1].astype(jnp.float32)))
-
         try:
             t0 = time.time()
-            out = pipe.generate(text=ctx, timesteps=timesteps, topk=5,
-                                decode_steps='final', key=jax.random.PRNGKey(0))
-            fence(out)
+            fence(gen(ctx, 0))
             t_first = time.time() - t0
-            log(f'batch {batch}: compile+first {t_first:.1f}s')
+            log(f'[cold] batch {batch}: compile+first {t_first:.1f}s | '
+                f'cache hits={counter.hits} misses={counter.misses}')
             # best-of-N: the hosted chip sits behind a shared tunnel and
             # individual calls absorb occasional server-side hiccups; the
             # fastest rep is the closest estimate of true device throughput
@@ -110,56 +172,118 @@ def main():
             reps = []
             for i in range(n):
                 t0 = time.time()
-                out = pipe.generate(text=ctx, timesteps=timesteps, topk=5,
-                                    decode_steps='final',
-                                    key=jax.random.PRNGKey(i + 1))
-                fence(out)
+                fence(gen(ctx, i + 1))
                 reps.append(time.time() - t0)
             dt = min(reps)
             ips = batch / dt
-            log(f'batch {batch}: best {dt:.3f}s/gen (mean '
+            log(f'[cold] batch {batch}: best {dt:.3f}s/gen (mean '
                 f'{sum(reps) / n:.3f}) -> {ips:.2f} images/sec/chip')
             if ips > best:
                 best, best_cfg = ips, batch
             break  # largest working batch wins; no need to sweep down
         except Exception as e:  # OOM at large batch etc. → try smaller
-            log(f'batch {batch}: failed ({type(e).__name__}: {e})')
+            log(f'[cold] batch {batch}: failed ({type(e).__name__}: {e})')
 
-    # warm-restart probe (VERDICT r3 #4): fresh process + populated
-    # persistent cache = what a preemption-restart or serving redeploy
-    # actually pays.  Driver-visible alongside the cold number.
-    warm = warm_total = None
+    # BASELINE config 4 (VERDICT r4 #4): guided sampling, CFG scale 2.0 —
+    # two transformer passes per step (measured bound ≈ plain/2.38, see
+    # BASELINE.md CFG analysis).  Contexts are precomputed embeddings; no
+    # T5 forward (weights env-gated).
+    cfg_value = None
     if best_cfg is not None:
-        import subprocess
         try:
-            t0 = time.time()
-            r = subprocess.run(
-                [sys.executable, __file__, '--warm-probe', str(best_cfg)]
-                + (['--quant', args.quant] if args.quant else []),
-                capture_output=True, text=True, timeout=900)
-            warm_total = time.time() - t0
-            if r.returncode == 0:
-                warm = float(r.stdout.strip().splitlines()[-1])
-                log(f'warm restart: {warm_total:.1f}s process total '
-                    f'(imports + devices + params), {warm:.1f}s cached '
-                    'compile + first image batch')
-            else:
-                warm_total = None
-                log(f'warm probe failed: {r.stderr[-500:]}')
+            ctx = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (best_cfg, 77, 1024)).astype(np.float32))
+            fence(gen(ctx, 100, guidance_scale=2.0))  # compile pass
+            reps = []
+            for i in range(2):
+                t0 = time.time()
+                fence(gen(ctx, 101 + i, guidance_scale=2.0))
+                reps.append(time.time() - t0)
+            cfg_value = best_cfg / min(reps)
+            log(f'[cold] guided (cfg 2.0) batch {best_cfg}: best '
+                f'{min(reps):.3f}s/gen -> {cfg_value:.2f} images/sec/chip '
+                '(precomputed embeddings, no T5 forward)')
         except Exception as e:
-            log(f'warm probe failed: {e}')
+            log(f'[cold] guided rep failed ({type(e).__name__}: {e})')
 
-    print(json.dumps({
-        'metric': f'images/sec/chip 256x256 {timesteps}-step t2i '
-                  f'(batch {best_cfg}, {tag})',
-        'value': round(best, 3),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(best / TORCH_CPU_BASELINE, 1),
+    print('@@RESULT@@' + json.dumps({
+        'best': best, 'best_cfg': best_cfg,
         'compile_first_s': None if t_first is None else round(t_first, 1),
-        'warm_first_s': None if warm is None else round(warm, 1),
-        'warm_restart_total_s': (None if warm_total is None
-                                 else round(warm_total, 1)),
+        'cfg_value': None if cfg_value is None else round(cfg_value, 3),
+        'cache_hits': counter.hits, 'cache_misses': counter.misses,
     }))
+
+
+def parse_child(proc_out):
+    for line in reversed(proc_out.splitlines()):
+        if line.startswith('@@RESULT@@'):
+            return json.loads(line[len('@@RESULT@@'):])
+    return None
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quant', choices=('w8', 'w8a8'), default=None,
+                    help='int8-quantize the stage-2 transformer first '
+                         '(nn/quant.py); default stays the bf16 headline')
+    ap.add_argument('--child', choices=('cold', 'warm'), default=None,
+                    help='internal: run one measured subprocess')
+    ap.add_argument('--batch', type=int, default=64,
+                    help='internal: warm-probe batch')
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.child, args)
+        return
+
+    # parent: NO jax import — run cold then warm sequentially so the warm
+    # probe gets the tunnel to itself (round-4's concurrent probe measured
+    # parent/child contention: 250 s "warm" vs 160 s cold).
+    base = [sys.executable, __file__] + (
+        ['--quant', args.quant] if args.quant else [])
+    r = subprocess.run(base + ['--child', 'cold'], text=True,
+                       stdout=subprocess.PIPE, stderr=None, timeout=3600)
+    cold = parse_child(r.stdout)
+    if not cold or cold.get('best_cfg') is None:
+        raise SystemExit('cold benchmark child produced no result')
+
+    warm = None
+    warm_total = None
+    try:
+        t0 = time.time()
+        r = subprocess.run(
+            base + ['--child', 'warm', '--batch', str(cold['best_cfg'])],
+            text=True, stdout=subprocess.PIPE, stderr=None, timeout=1800)
+        warm_total = time.time() - t0
+        warm = parse_child(r.stdout)
+        if warm:
+            log(f'warm restart: {warm_total:.1f}s process total '
+                f"(imports + devices {warm['warm_devices_s']}s + params "
+                f"{warm['warm_params_s']}s), {warm['warm_first_s']}s "
+                'cached compile + first image batch')
+    except Exception as e:
+        log(f'warm probe failed: {e}')
+
+    tag = f'int8-{args.quant}' if args.quant else 'bf16'
+    out = {
+        'metric': f'images/sec/chip 256x256 16-step t2i '
+                  f"(batch {cold['best_cfg']}, {tag})",
+        'value': round(cold['best'], 3),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(cold['best'] / TORCH_CPU_BASELINE, 1),
+        'cfg_value': cold.get('cfg_value'),
+        'compile_first_s': cold.get('compile_first_s'),
+        'cache_hits': cold.get('cache_hits'),
+        'cache_misses': cold.get('cache_misses'),
+    }
+    if warm:
+        out['warm_first_s'] = warm['warm_first_s']
+        out['warm_restart_total_s'] = round(warm_total, 1)
+        out['warm_devices_s'] = warm['warm_devices_s']
+        out['warm_params_s'] = warm['warm_params_s']
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
