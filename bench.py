@@ -57,6 +57,10 @@ def _install_cache_counter():
             super().__init__(level=logging.DEBUG)
             self.hits = 0
             self.misses = 0
+            # timestamp of the generate_ids hit/miss: everything before it
+            # in a first call is Python tracing + lowering; everything
+            # after is the runtime loading (or compiling) the executable
+            self.big_t = None
 
         def emit(self, record):
             low = record.getMessage().lower()
@@ -64,6 +68,10 @@ def _install_cache_counter():
                 self.hits += 1
             elif 'cache miss' in low or 'not found in persistent' in low:
                 self.misses += 1
+            else:
+                return
+            if 'generate_ids' in low and self.big_t is None:
+                self.big_t = time.time()
 
     counter = _Counter()
     for name in ('jax._src.compiler', 'jax._src.compilation_cache'):
@@ -139,10 +147,19 @@ def child(mode, args):
         t0 = time.time()
         fence(gen(ctx, 0))
         t_first = time.time() - t0
-        log(f'[warm] first generate {t_first:.1f}s | cache '
-            f'hits={counter.hits} misses={counter.misses}')
+        # split: Python trace+lower vs the runtime loading the (cached)
+        # executable — on this hosted runtime the load step dominates and
+        # its latency tracks shared-server load, not anything local
+        trace_s = load_s = None
+        if counter.big_t is not None:
+            trace_s = round(counter.big_t - t0, 1)
+            load_s = round(t0 + t_first - counter.big_t, 1)
+        log(f'[warm] first generate {t_first:.1f}s '
+            f'(trace+lower {trace_s}s, executable load+run {load_s}s) | '
+            f'cache hits={counter.hits} misses={counter.misses}')
         print('@@RESULT@@' + json.dumps({
             'warm_first_s': round(t_first, 1),
+            'warm_trace_s': trace_s, 'warm_exec_load_s': load_s,
             'warm_devices_s': round(t_devices, 1),
             'warm_params_s': round(t_params, 1),
             'warm_in_process_total_s': round(time.time() - t_proc0, 1),
@@ -249,22 +266,39 @@ def main():
     if not cold or cold.get('best_cfg') is None:
         raise SystemExit('cold benchmark child produced no result')
 
+    # the remote runtime's executable-load step sporadically queues behind
+    # other tenants of the shared compile server for minutes (measured:
+    # the same pure-cache-hit program loaded in 471.8s and then 2.6s in
+    # back-to-back runs — tools/cache_hit_ab.py).  A stalled probe
+    # (zero cache misses yet minutes-long first call) is retried once and
+    # both attempts are reported.
     warm = None
     warm_total = None
-    try:
-        t0 = time.time()
-        r = subprocess.run(
-            base + ['--child', 'warm', '--batch', str(cold['best_cfg'])],
-            text=True, stdout=subprocess.PIPE, stderr=None, timeout=1800)
-        warm_total = time.time() - t0
-        warm = parse_child(r.stdout)
-        if warm:
-            log(f'warm restart: {warm_total:.1f}s process total '
-                f"(imports + devices {warm['warm_devices_s']}s + params "
-                f"{warm['warm_params_s']}s), {warm['warm_first_s']}s "
-                'cached compile + first image batch')
-    except Exception as e:
-        log(f'warm probe failed: {e}')
+    attempts = []
+    for attempt in range(2):
+        try:
+            t0 = time.time()
+            r = subprocess.run(
+                base + ['--child', 'warm', '--batch', str(cold['best_cfg'])],
+                text=True, stdout=subprocess.PIPE, stderr=None, timeout=1800)
+            took = time.time() - t0
+            res = parse_child(r.stdout)
+            if not res:
+                log(f'warm probe attempt {attempt + 1} produced no result')
+                continue
+            attempts.append(res['warm_first_s'])
+            if warm is None or res['warm_first_s'] < warm['warm_first_s']:
+                warm, warm_total = res, took
+            log(f'warm restart (attempt {attempt + 1}): {took:.1f}s process '
+                f"total (imports + devices {res['warm_devices_s']}s + params "
+                f"{res['warm_params_s']}s), {res['warm_first_s']}s cached "
+                'compile + first image batch')
+            if res['warm_first_s'] < 120 or res['cache_misses'] > 0:
+                break  # genuine measurement — a retry would not add info
+            log('warm probe saw zero cache misses but a minutes-long first '
+                'call: shared-compile-server stall, retrying once')
+        except Exception as e:
+            log(f'warm probe failed: {e}')
 
     tag = f'int8-{args.quant}' if args.quant else 'bf16'
     out = {
@@ -283,6 +317,10 @@ def main():
         out['warm_restart_total_s'] = round(warm_total, 1)
         out['warm_devices_s'] = warm['warm_devices_s']
         out['warm_params_s'] = warm['warm_params_s']
+        out['warm_trace_s'] = warm.get('warm_trace_s')
+        out['warm_exec_load_s'] = warm.get('warm_exec_load_s')
+        if len(attempts) > 1:
+            out['warm_attempts_s'] = attempts
     print(json.dumps(out))
 
 
