@@ -386,8 +386,11 @@ def make_pipeline_train_step(cfg: pl.PipelineConfig, tx, *, grad_accum=1,
     training-time visibility into router collapse / capacity overflow
     (VERDICT r3 #2).
 
-    ``transformer_apply``: stage-2 stack forward override (dense variant) —
-    the pipeline-parallel trainer route passes the GPipe apply here."""
+    ``transformer_apply``: stage-2 stack forward override — the
+    pipeline-parallel trainer route passes the GPipe apply here
+    (pp_cond_transformer_apply, or pp_moe_cond_transformer_apply for the
+    MoE variant, which returns (logits, aux) like the unpipelined MoE
+    path)."""
 
     def loss_fn(params, img, context, mask_ratio, key):
         return pl.pipeline_loss(params, _cast(img, compute_dtype),

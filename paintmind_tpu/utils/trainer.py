@@ -578,10 +578,6 @@ class PaintMindTrainer(_TrainerBase):
             import functools
             from ..parallel import pipeline_parallel as ppar
             from ..parallel.mesh import MODEL_AXIS
-            if model.config.num_experts:
-                raise NotImplementedError(
-                    'pp_microbatches does not support the MoE variant — '
-                    'use expert parallelism for paintmindv1-moe')
             stages = self.mesh.shape.get(MODEL_AXIS, 1)
             if stages < 2:
                 raise ValueError(
@@ -595,8 +591,15 @@ class PaintMindTrainer(_TrainerBase):
                 raise ValueError(
                     f'batch_size {batch_size} must be divisible by '
                     f'dp={dp} × pp_microbatches={pp_microbatches}')
+            # PP × MoE (VERDICT r4 #6): the MoE stack pipelines with the
+            # same depth-axis stage split, experts local to their stage —
+            # the pp apply returns (logits, aux) and pipeline_loss weights
+            # the routing losses exactly like the unpipelined path
+            pp_apply = (ppar.pp_moe_cond_transformer_apply
+                        if model.config.num_experts
+                        else ppar.pp_cond_transformer_apply)
             transformer_apply = functools.partial(
-                ppar.pp_cond_transformer_apply, cfg=model.config.tcfg,
+                pp_apply, cfg=model.config.tcfg,
                 mesh=self.mesh, microbatches=pp_microbatches, remat=remat)
 
         step_fn = train_steps.make_pipeline_train_step(
