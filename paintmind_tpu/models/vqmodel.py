@@ -252,8 +252,13 @@ class VQModel:
                        else VQModelConfig.from_dict(config))
         self.compute_dtype = compute_dtype
         if params is None:
-            params = init_vqmodel(jax.random.PRNGKey(seed), self.config,
-                                  param_dtype)
+            # one fused init program instead of op-by-op dispatch: on the
+            # hosted remote runtime every eager op pays a ~0.1s round trip,
+            # so the ~40-program eager init costs seconds of every process
+            # start (VERDICT r4 #7 warm-path); the fused form is a single
+            # cacheable program
+            params = jax.jit(lambda k: init_vqmodel(
+                k, self.config, param_dtype))(jax.random.PRNGKey(seed))
         self.params = params
         self.frozen = False
         cfg = self.config
