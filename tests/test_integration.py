@@ -178,3 +178,40 @@ def test_shipped_trained_weights_load_and_reconstruct():
     assert psnr(rec, x) > 15.0
     # trained codebook spreads mass over many entries on a real image
     assert len(np.unique(np.asarray(ids))) > 100
+
+
+def test_pipeline_fused_init_deterministic_and_cast():
+    """Construction is one fused jit program (round-5 warm-path fix):
+    values must stay seed-deterministic across constructions, and the
+    compute_dtype variant must be the exact cast of the fp32 one."""
+    import jax
+    import jax.numpy as jnp
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from test_training import SMALL_VQ
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=2,
+                         dropout=0.0, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48)
+    a = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=3)
+    b = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=3)
+    for la, lb in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    c = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=3,
+                 compute_dtype=jnp.bfloat16)
+    for la, lc in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(c.params)):
+        la = np.asarray(la)
+        if np.issubdtype(la.dtype, np.floating):
+            np.testing.assert_array_equal(
+                la.astype(jnp.bfloat16), np.asarray(lc))
+        else:
+            np.testing.assert_array_equal(la, np.asarray(lc))
+
+    # the pipeline's vqgan tower holds the same (cast) arrays
+    for lv, lp in zip(jax.tree_util.tree_leaves(c.vqgan.params),
+                      jax.tree_util.tree_leaves(c.params['vqgan'])):
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(lp))

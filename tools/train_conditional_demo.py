@@ -21,7 +21,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)                      # sibling tools
+sys.path.insert(0, os.path.dirname(_HERE))     # repo root (paintmind_tpu)
 
 N_CLASSES = 6
 CTX_LEN = 8  # short fixed pseudo-caption

@@ -38,8 +38,9 @@ import traceback
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                os.pardir, 'tests'))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, os.pardir, 'tests'))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (paintmind_tpu)
 
 SMALL_VQ = {
     'n_embed': 64, 'embed_dim': 8, 'beta': 0.25,
