@@ -141,3 +141,20 @@ def test_verify_parity_fake_mode():
     # at least the four offline-capable checks actually ran
     ran = [k for k, v in report.items() if v['status'] == 'ok']
     assert len(ran) >= 3, report
+
+
+def test_bench_parent_parses_child_result():
+    """bench.py's parent/child protocol: the parent parses the LAST
+    @@RESULT@@ marker line of a child's stdout (stray prints must not
+    break the driver metric)."""
+    spec = importlib.util.spec_from_file_location(
+        'bench', pathlib.Path(__file__).resolve().parents[1] / 'bench.py')
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    out = ('some noise\n'
+           '@@RESULT@@{"best": 1.0, "best_cfg": 8}\n'
+           'more noise\n'
+           '@@RESULT@@{"best": 14.27, "best_cfg": 64, "cache_hits": 115}\n')
+    r = bench.parse_child(out)
+    assert r == {'best': 14.27, 'best_cfg': 64, 'cache_hits': 115}
+    assert bench.parse_child('no marker here\n') is None
