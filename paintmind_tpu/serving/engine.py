@@ -110,11 +110,26 @@ class GenerationEngine:
 
     def __init__(self, pipeline, *, max_batch=16, max_wait_ms=20.0,
                  latency_window=512, max_queue=None, mesh=None,
-                 sequence_parallel=False):
+                 sequence_parallel=False, pp_microbatches=None):
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # bucket programs survive restarts
         self._prev_mesh = self._restore_mesh = None
-        if mesh is not None:
+        self._min_bucket = 1
+        if pp_microbatches:
+            # serve a pipeline-parallel placement (incl. the MoE variant —
+            # round-5 PP × MoE): the GPipe decode needs batch divisible by
+            # dp × microbatches, so buckets are raised/rounded to that
+            # multiple (_pad_bucket); otherwise batching is unchanged
+            if mesh is None:
+                raise ValueError('pp_microbatches needs mesh=')
+            pipeline.enable_pipeline_parallel(mesh, pp_microbatches)
+            self._min_bucket = (mesh.shape.get('data', 1)
+                                * int(pp_microbatches))
+            if int(max_batch) % self._min_bucket:
+                raise ValueError(
+                    f'max_batch {max_batch} must be divisible by dp × '
+                    f'pp_microbatches = {self._min_bucket}')
+        elif mesh is not None:
             # serve sharded (VERDICT r3 #5): TP/EP param placement via
             # Pipeline.shard — the engine's batching/bucketing is layout-
             # agnostic, decode programs compile against the sharded params.
@@ -281,10 +296,19 @@ class GenerationEngine:
             else:
                 fut.set_result(outs[i])
 
+    def _pad_bucket(self, n):
+        """Power-of-two bucket, raised to a multiple of the PP divisibility
+        constraint when serving a pipeline-parallel placement."""
+        b = _bucket(n, self.max_batch)
+        m = self._min_bucket
+        if b % m:
+            b = min(((b + m - 1) // m) * m, self.max_batch)
+        return max(b, m)
+
     def _run_generate(self, reqs):
         r0 = reqs[0]
         n = len(reqs)
-        bucket = _bucket(n, self.max_batch)
+        bucket = self._pad_bucket(n)
         with self._lock:
             self._counters['padded_slots'] += bucket - n
 
@@ -328,7 +352,7 @@ class GenerationEngine:
     def _run_paint(self, reqs):
         r0 = reqs[0]
         n = len(reqs)
-        bucket = _bucket(n, self.max_batch)
+        bucket = self._pad_bucket(n)
         with self._lock:
             self._counters['padded_slots'] += bucket - n
 

@@ -525,3 +525,58 @@ def test_engine_serves_sharded_pipeline():
         assert np.isfinite(out).all() and out.shape == (32, 32, 3)
     finally:
         set_active_mesh(None)
+
+
+def test_engine_serves_pipeline_parallel_pipeline():
+    """Round 5: the engine hosts a pipeline-parallel placement
+    (pp_microbatches=...) — buckets are raised to the dp × microbatches
+    multiple the GPipe decode needs, and seeded outputs match the plain
+    engine.  Also exercises the PP × MoE variant end-to-end."""
+    import jax
+    from paintmind_tpu.parallel import mesh as pmesh
+    from paintmind_tpu.parallel.context import set_active_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    import dataclasses
+    cfg4 = dataclasses.replace(SMALL_PIPE, depth=4)  # 4 layers / 4 stages
+
+    def outputs(mesh, pp):
+        pipe2 = pl.Pipeline(config=cfg4, stage1_pretrained=False,
+                            text_encoder=None, seed=0)
+        try:
+            with GenerationEngine(pipe2, max_batch=4, max_wait_ms=200,
+                                  mesh=mesh, pp_microbatches=pp) as eng:
+                fut = eng.submit(GenerateRequest(timesteps=2, topk=1,
+                                                 temperature=0.0, seed=7))
+                out = fut.result(timeout=300)
+                stats = eng.stats()
+            return out, stats
+        finally:
+            set_active_mesh(None)
+
+    ref, _ = outputs(None, None)
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=4)
+    out, stats = outputs(mesh, 2)
+    # one request, min bucket dp(2) × microbatches(2) = 4 padded slots - 1
+    assert stats['padded_slots'] == 3
+    assert float(np.max(np.abs(out - ref))) < 1e-4
+
+    with pytest.raises(ValueError, match='divisible'):
+        GenerationEngine(pl.Pipeline(config=cfg4, stage1_pretrained=False,
+                                     text_encoder=None, seed=0),
+                         max_batch=6, mesh=mesh, pp_microbatches=4)
+
+    # PP × MoE through the engine
+    moe_cfg = dataclasses.replace(cfg4, num_experts=2, capacity_factor=1.0)
+    moe_pipe = pl.Pipeline(config=moe_cfg, stage1_pretrained=False,
+                           text_encoder=None, seed=0)
+    try:
+        with GenerationEngine(moe_pipe, max_batch=4, max_wait_ms=100,
+                              mesh=mesh, pp_microbatches=2) as eng:
+            out = eng.submit(GenerateRequest(timesteps=2, topk=1,
+                                             temperature=0.0,
+                                             seed=1)).result(timeout=300)
+        assert np.isfinite(out).all() and out.shape == (32, 32, 3)
+    finally:
+        set_active_mesh(None)
