@@ -144,3 +144,54 @@ def test_image_tower_save_load_roundtrip(tmp_path, rng):
                                      cfg=loaded.cfg)
     got = loaded(imgs)
     assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_imgvar_trainer_loop_end_to_end(tmp_path, rng):
+    """The image-variations TRAINING wiring (tools/train_imgvar.py): a
+    self-conditioned loader yields (imgs, imgs), the frozen CLIP image
+    tower is the trainer's text_embedder, CFG dropout zeroes the context
+    for some steps — the loop must train, log, and sample variations."""
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    tower = clip_mod.CLIPImageEmbedder(cfg=TINY_VISION, seed=4)
+    pipe = _tiny_pipeline('clip-img-l', TINY_VISION.width, tower)
+
+    imgs = rng.uniform(-1, 1, (16, 32, 32, 3)).astype(np.float32)
+
+    class SelfCondLoader:
+        def __init__(self, arr, bs):
+            self.arr, self.bs = arr, bs
+
+        def __len__(self):
+            return len(self.arr) // self.bs
+
+        def __iter__(self):
+            for i in range(len(self)):
+                b = self.arr[i * self.bs:(i + 1) * self.bs]
+                yield b, b
+
+    tr = PaintMindTrainer(
+        pipe, dataset=None, num_epoch=2, optim_name='adamw', lr=1e-3,
+        warmup_steps=1, decay_steps=4, batch_size=8, grad_accum_steps=1,
+        mixed_precision='no', ema_decay=0.999, cfg_p=0.5, save_every=1000,
+        sample_every=1000, log_every=1,
+        result_folder=str(tmp_path / 'r'), log_dir=str(tmp_path / 'l'),
+        text_embedder=tower,
+        train_loader=SelfCondLoader(imgs, 8),
+        valid_loader=SelfCondLoader(imgs[:8], 8))
+    try:
+        tr.train()
+    finally:
+        from paintmind_tpu.parallel.context import set_active_mesh
+        set_active_mesh(None)
+    assert tr.steps == 4
+    assert np.isfinite(tr.log['loss'])
+
+    # variations demo path: condition on held-out refs, N samples each
+    refs = imgs[:2]
+    ctx = tower(refs)
+    rep = jnp.repeat(ctx, 2, axis=0)
+    gens = pipe.generate(text=rep, timesteps=2, topk=2, guidance_scale=2.0,
+                         decode_steps='final', key=jax.random.PRNGKey(1))[-1]
+    assert np.asarray(gens).shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(gens, np.float32)).all()
