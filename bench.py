@@ -35,7 +35,6 @@ are unreachable offline; BASELINE.md).
 from __future__ import annotations
 
 import json
-import os
 import subprocess
 import sys
 import time
@@ -45,41 +44,6 @@ TORCH_CPU_BASELINE = 0.0053  # images/sec, see module docstring
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def _install_cache_counter():
-    """Counts persistent-compilation-cache hits/misses via jax's debug logs
-    (no public API).  Returns the counter object."""
-    import logging
-
-    class _Counter(logging.Handler):
-        def __init__(self):
-            super().__init__(level=logging.DEBUG)
-            self.hits = 0
-            self.misses = 0
-            # timestamp of the generate_ids hit/miss: everything before it
-            # in a first call is Python tracing + lowering; everything
-            # after is the runtime loading (or compiling) the executable
-            self.big_t = None
-
-        def emit(self, record):
-            low = record.getMessage().lower()
-            if 'cache hit' in low:
-                self.hits += 1
-            elif 'cache miss' in low or 'not found in persistent' in low:
-                self.misses += 1
-            else:
-                return
-            if 'generate_ids' in low and self.big_t is None:
-                self.big_t = time.time()
-
-    counter = _Counter()
-    for name in ('jax._src.compiler', 'jax._src.compilation_cache'):
-        lg = logging.getLogger(name)
-        lg.setLevel(logging.DEBUG)
-        lg.addHandler(counter)
-        lg.propagate = False  # keep the per-key debug spam off stderr
-    return counter
 
 
 def child(mode, args):
@@ -96,9 +60,13 @@ def child(mode, args):
     import numpy as np
 
     from paintmind_tpu.models.pipeline import Pipeline
-    from paintmind_tpu.utils.compile_cache import enable_persistent_cache
+    from paintmind_tpu.utils.compile_cache import (enable_persistent_cache,
+                                                   install_cache_counter)
 
-    counter = _install_cache_counter()
+    # mark='generate_ids': everything before that hit/miss record in a
+    # first call is Python tracing + lowering; everything after is the
+    # runtime loading (or compiling) the executable
+    counter = install_cache_counter(mark='generate_ids', propagate=False)
 
     # fail fast when the hosted TPU tunnel is down: device discovery
     # otherwise blocks indefinitely and the driver only sees a hang
@@ -151,9 +119,9 @@ def child(mode, args):
         # executable — on this hosted runtime the load step dominates and
         # its latency tracks shared-server load, not anything local
         trace_s = load_s = None
-        if counter.big_t is not None:
-            trace_s = round(counter.big_t - t0, 1)
-            load_s = round(t0 + t_first - counter.big_t, 1)
+        if counter.mark_t is not None:
+            trace_s = round(counter.mark_t - t0, 1)
+            load_s = round(t0 + t_first - counter.mark_t, 1)
         log(f'[warm] first generate {t_first:.1f}s '
             f'(trace+lower {trace_s}s, executable load+run {load_s}s) | '
             f'cache hits={counter.hits} misses={counter.misses}')

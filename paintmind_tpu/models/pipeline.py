@@ -196,10 +196,12 @@ def pipeline_loss(params, img, context, mask_ratio, key, *,
     a collapsing router or over-capacity token drop is visible in training
     (VERDICT r3 #2); empty dict for the dense model.
 
-    ``transformer_apply`` (dense variant only): override for the stage-2
-    stack forward with the same ``(params, x, context, key=..., \
-deterministic=...)`` signature — the pipeline-parallel trainer passes the
-    GPipe apply here (parallel/pipeline_parallel.py)."""
+    ``transformer_apply``: override for the stage-2 stack forward with the
+    same ``(params, x, context, key=..., deterministic=...)`` signature —
+    the pipeline-parallel trainer passes the GPipe apply here
+    (parallel/pipeline_parallel.py).  For the MoE variant the override
+    must return ``(logits, aux)`` like moe_cond_transformer_apply; the
+    dense variant's returns logits alone."""
     k_mask, k_drop = jax.random.split(key)
     vq_params = jax.lax.stop_gradient(params['vqgan'])
     z_q, _, ids = vm.encode(vq_params, img, cfg.vqc, backend=backend,

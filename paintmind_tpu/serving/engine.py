@@ -113,7 +113,8 @@ class GenerationEngine:
                  sequence_parallel=False, pp_microbatches=None):
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # bucket programs survive restarts
-        self._prev_mesh = self._restore_mesh = None
+        self._prev_mesh = self._own_mesh = None
+        self._restore_mesh = False
         self._min_bucket = 1
         if pp_microbatches:
             # serve a pipeline-parallel placement (incl. the MoE variant —
@@ -122,13 +123,22 @@ class GenerationEngine:
             # multiple (_pad_bucket); otherwise batching is unchanged
             if mesh is None:
                 raise ValueError('pp_microbatches needs mesh=')
-            pipeline.enable_pipeline_parallel(mesh, pp_microbatches)
+            if sequence_parallel:
+                raise ValueError(
+                    'sequence_parallel is not supported together with '
+                    'pp_microbatches: the GPipe decode shards the batch, '
+                    'not the token axis — serve the 512² variant either '
+                    'sharded (mesh= + sequence_parallel=True) OR '
+                    'pipelined, not both')
+            # validate BEFORE enable_pipeline_parallel mutates the
+            # pipeline, so a failed constructor leaves it untouched
             self._min_bucket = (mesh.shape.get('data', 1)
                                 * int(pp_microbatches))
             if int(max_batch) % self._min_bucket:
                 raise ValueError(
                     f'max_batch {max_batch} must be divisible by dp × '
                     f'pp_microbatches = {self._min_bucket}')
+            pipeline.enable_pipeline_parallel(mesh, pp_microbatches)
         elif mesh is not None:
             # serve sharded (VERDICT r3 #5): TP/EP param placement via
             # Pipeline.shard — the engine's batching/bucketing is layout-
@@ -140,6 +150,7 @@ class GenerationEngine:
             # (round-4 advisor finding).
             from ..parallel.context import active_mesh
             self._prev_mesh, self._restore_mesh = active_mesh(), True
+            self._own_mesh = mesh
             pipeline.shard(mesh, sequence_parallel=sequence_parallel)
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
@@ -215,8 +226,12 @@ class GenerationEngine:
         self._queue.put(None)
         self._thread.join(timeout)
         if self._restore_mesh:
-            from ..parallel.context import set_active_mesh
-            set_active_mesh(self._prev_mesh)
+            from ..parallel.context import active_mesh, set_active_mesh
+            # restore only if OUR mesh is still the active one — a later
+            # engine/trainer may have registered its own; clobbering it
+            # here would break that still-live placement mid-serve
+            if active_mesh() is self._own_mesh:
+                set_active_mesh(self._prev_mesh)
             self._restore_mesh = False
 
     def __enter__(self):

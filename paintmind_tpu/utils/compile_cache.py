@@ -46,3 +46,52 @@ def enable_persistent_cache(path=None):
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     _ENABLED_PATH = path
     return path
+
+
+def install_cache_counter(mark=None, keep_other=False, propagate=True):
+    """Counts persistent-cache hits/misses by listening to jax's debug
+    logs (there is no public API).  One shared implementation for
+    bench.py and tools/startup_probe.py — the two previously carried
+    divergent copies of the fragile log-scrape (round-5 review finding).
+
+    ``mark``: substring (e.g. the jit function name ``'generate_ids'``) —
+    the first hit/miss record mentioning it timestamps ``counter.mark_t``,
+    splitting Python trace time from executable load/compile time on a
+    first call.  ``keep_other=True`` retains unmatched cache-log lines in
+    ``counter.other`` for diagnosis.  ``propagate=False`` silences the
+    per-key debug spam on stderr.  Returns the installed handler with
+    ``hits`` / ``misses`` / ``mark_t`` / ``other`` attributes."""
+    import logging
+    import time
+
+    class _Counter(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.DEBUG)
+            self.hits = 0
+            self.misses = 0
+            self.mark_t = None
+            self.other = []
+
+        def emit(self, record):
+            msg = record.getMessage()
+            low = msg.lower()
+            if 'cache hit' in low or 'hit for' in low:
+                self.hits += 1
+            elif 'miss' in low or 'not found in persistent' in low:
+                self.misses += 1
+            else:
+                if keep_other:
+                    self.other.append(msg[:120])
+                return
+            if mark and mark in low and self.mark_t is None:
+                self.mark_t = time.time()
+
+    counter = _Counter()
+    for name in ('jax._src.compiler', 'jax._src.compilation_cache',
+                 'jax._src.cache_key'):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(counter)
+        if not propagate:
+            lg.propagate = False
+    return counter

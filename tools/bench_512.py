@@ -59,8 +59,12 @@ def main():
     args = ap.parse_args()
 
     if args.check:
-        os.environ.setdefault(
-            'XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+        # append, don't setdefault: a pre-existing XLA_FLAGS (common on
+        # TPU hosts) would otherwise silently drop the 8-device forcing
+        flag = '--xla_force_host_platform_device_count=8'
+        prev = os.environ.get('XLA_FLAGS', '')
+        if flag not in prev:
+            os.environ['XLA_FLAGS'] = (prev + ' ' + flag).strip()
     import jax
     if args.check:
         jax.config.update('jax_platforms', 'cpu')

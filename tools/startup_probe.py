@@ -13,32 +13,11 @@ Usage:  python tools/startup_probe.py [--batch 64]
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-class CacheCounter(logging.Handler):
-    """Counts persistent-compilation-cache hit/miss log records."""
-
-    def __init__(self):
-        super().__init__(level=logging.DEBUG)
-        self.hits = 0
-        self.misses = 0
-        self.other = []
-
-    def emit(self, record):
-        msg = record.getMessage()
-        low = msg.lower()
-        if 'cache hit' in low or 'hit for' in low:
-            self.hits += 1
-        elif 'miss' in low or 'not found in persistent' in low:
-            self.misses += 1
-        else:
-            self.other.append(msg[:120])
 
 
 def main():
@@ -55,14 +34,9 @@ def main():
     import numpy as np
     t['import_jax'] = time.time() - t0
 
-    counter = CacheCounter()
-    for name in ('jax._src.compilation_cache', 'jax._src.compiler',
-                 'jax._src.cache_key'):
-        lg = logging.getLogger(name)
-        lg.setLevel(logging.DEBUG)
-        lg.addHandler(counter)
-
-    from paintmind_tpu.utils.compile_cache import enable_persistent_cache
+    from paintmind_tpu.utils.compile_cache import (enable_persistent_cache,
+                                                   install_cache_counter)
+    counter = install_cache_counter(keep_other=True)
     cache = enable_persistent_cache()
 
     t0 = time.time()
