@@ -189,6 +189,20 @@ class _TrainerBase:
             lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype,
                                            sharding=l.sharding)
             if isinstance(l, jax.Array) else l, self.state)
+        # Free the live state's device buffers BEFORE the restore: orbax
+        # materializes the full restored state on device, so keeping the
+        # donor alive doubles the HBM footprint — fine for the 211M dense
+        # state (2×3.4G), an on-chip ResourceExhausted for the 514M MoE
+        # state (2×7.2G on a 16G v5e, observed in anger resuming
+        # paintmind_state_4000).  Model params alias state leaves, so the
+        # model is rebound from the restored state by the caller's
+        # _sync_model (resume() always does).
+        donor = self.state
+        self.state = None
+        for leaf in jax.tree_util.tree_leaves(donor):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        del donor
         self.state = ckptr.restore(os.path.abspath(path), template)
         return self
 

@@ -687,6 +687,47 @@ def test_host_staged_save_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_frees_donor_state_buffers(tmp_path):
+    """_restore_state must delete the live state's device buffers before
+    orbax materializes the restored copy: keeping both doubles the HBM
+    footprint, which ResourceExhausted the 514M MoE resume on a 16G chip
+    (2 x 7.2G).  The donor leaves must be deleted and the restored state
+    still train."""
+    from paintmind_tpu.models.pipeline import Pipeline, PipelineConfig
+    from paintmind_tpu.models import vqmodel as vm
+    from paintmind_tpu.utils.trainer import PaintMindTrainer
+
+    cfg = PipelineConfig(stage1='test-vqgan-tr', t5='t5-l', dim=32,
+                         dim_head=16, mlp_dim=64, num_head=2, depth=1,
+                         dropout=0.0, vqc=vm.VQModelConfig.from_dict(SMALL_VQ),
+                         t5_dim=48)
+    ds = _SynthDataset(44, 32, with_caption=False)
+
+    def make_trainer(pipe, folder):
+        return PaintMindTrainer(
+            pipe, ds, num_epoch=1, valid_size=4, optim_name='lion', lr=1e-3,
+            warmup_steps=1, decay_steps=10, batch_size=8, num_workers=0,
+            grad_accum_steps=1, mixed_precision='no', save_every=1000,
+            sample_every=1000, result_folder=folder,
+            log_dir=str(tmp_path / 'log'), seed=11)
+
+    pipe = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=7)
+    trainer = make_trainer(pipe, str(tmp_path))
+    ckpt = trainer.save()
+    trainer.finalize_checkpoints()
+
+    pipe2 = Pipeline(cfg, stage1_pretrained=False, text_encoder=None, seed=9)
+    trainer2 = make_trainer(pipe2, str(tmp_path / 'r2'))
+    donors = [l for l in jax.tree_util.tree_leaves(trainer2.state)
+              if isinstance(l, jax.Array)]
+    trainer2.resume(ckpt)
+    assert donors and all(d.is_deleted() for d in donors)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state),
+                    jax.tree_util.tree_leaves(trainer2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    trainer2.train()  # the rebound model/state still trains
+
+
 def test_paintmind_trainer_preemption_resume(tmp_path):
     """SIGTERM mid-run → the trainer saves a clean generation and exits;
     resume('auto') restores it bit-exact and training continues
